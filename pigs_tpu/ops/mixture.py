@@ -1,0 +1,81 @@
+"""Public mixture-evaluation API: blockwise, jit-able, autodiff-complete.
+
+This is the functional replacement for the reference's stateful
+``GaussianSampler.preprocess`` + ``sample_gaussians*`` protocol (SURVEY.md §2.1):
+one call evaluates value and all requested derivative orders in a single fused pass
+(the reference recomputes the exponent once per method; here the density is computed
+once per (sample, Gaussian) pair).
+
+Scaling strategy: the all-pairs reduction is shaped exactly like attention
+(samples ~ queries, Gaussians ~ keys; SURVEY.md §5 long-context note).  The default
+path chunks the sample axis with ``lax.map`` so peak memory is
+O(chunk * n * d^order) while XLA fuses the inner dense evaluation; the Pallas kernel
+(``pigs_tpu.ops.pallas_mixture``) tiles both axes explicitly for the speed-of-light
+path and is used automatically on TPU for the orders it supports.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pigs_tpu.ops.oracle import MixtureFields, eval_mixture_dense
+
+__all__ = ["eval_mixture"]
+
+
+def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
+    size = x.shape[axis]
+    padded = (size + multiple - 1) // multiple * multiple
+    if padded == size:
+        return x, size
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (0, padded - size)
+    return jnp.pad(x, pad_widths), size
+
+
+@partial(jax.jit, static_argnames=("order", "period", "sample_chunk"))
+def eval_mixture(
+    means: jax.Array,
+    conics: jax.Array,
+    values: jax.Array,
+    samples: jax.Array,
+    order: int = 0,
+    mask: Optional[jax.Array] = None,
+    period: Optional[float] = None,
+    sample_chunk: int = 1024,
+) -> MixtureFields:
+    """Evaluate a Gaussian mixture field (value + derivatives) at sample points.
+
+    Same contract as :func:`pigs_tpu.ops.oracle.eval_mixture_dense`; chunks the
+    sample axis to bound memory.  Differentiable w.r.t. every tensor input to any
+    order (JAX autodiff through the blocked map).
+
+    Note ``conics`` here is the full symmetric ``(n, d, d)`` inverse covariance.
+    Packed triangular storage from :func:`pigs_tpu.gaussians.build_covariances` can
+    be expanded with :func:`pigs_tpu.gaussians.unpack_symmetric`.
+    """
+    m = samples.shape[0]
+    if m <= sample_chunk:
+        return eval_mixture_dense(
+            means, conics, values, samples, order=order, mask=mask, period=period)
+
+    padded_samples, true_m = _pad_to_multiple(samples, sample_chunk, axis=0)
+    blocks = padded_samples.reshape(-1, sample_chunk, samples.shape[-1])
+
+    def block_fn(block):
+        return eval_mixture_dense(
+            means, conics, values, block, order=order, mask=mask, period=period)
+
+    out = jax.lax.map(block_fn, blocks)
+    merged = []
+    for field in out:
+        if field is None:
+            merged.append(None)
+        else:
+            flat = field.reshape(-1, *field.shape[2:])
+            merged.append(flat[:true_m])
+    return MixtureFields(*merged)

@@ -1,0 +1,231 @@
+"""PN training loop: curriculum over timesteps, per-step Adam with loss-weighted
+learning rate, truncated BPTT, NaN filtering, checkpointing, rollout eval.
+
+Functional redesign of main_pn.py:101-277 (train) and main_pn.py:279-484
+(rollout).  Structure:
+
+  * one jitted ``pn_step`` performs a single dynamics timestep: forward ->
+    physics losses -> gradients -> Adam update -> loss-weight decay.  The
+    curriculum (``min(epoch // bootstrap_rate + 1, current_timesteps)``,
+    main_pn.py:171) drives how many times it is called per epoch — one compile,
+    many calls.
+  * truncated BPTT: the state and field samples carried between timesteps are
+    stop_gradient'ed (the reference's ``model.detach()``, model_pn.py:558-576),
+    so each update backpropagates through exactly one network application.
+  * NaN/Inf loss components are zeroed before summation (main_pn.py:183-192).
+  * the per-step learning rate is ``base_lr * loss_weight`` with
+    ``loss_weight *= exp(-epsilon * loss)`` (main_pn.py:217-225), via
+    ``optax.inject_hyperparams``.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pigs_tpu.models.model import (Losses, ModelConfig, StepFields,
+                                   compute_loss, forward_step,
+                                   make_initial_state, make_network,
+                                   randomize_state, sample_fields)
+from pigs_tpu.models.state import MixtureState, covariance_of
+from pigs_tpu.ops.mixture import eval_mixture
+from pigs_tpu.pde import Problem
+from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
+                                     image_samples)
+
+__all__ = ["TrainConfig", "init_training", "pn_step", "train_epoch", "train",
+           "rollout"]
+
+
+class TrainConfig(NamedTuple):
+    n_epochs: int = 5000
+    n_samples: int = 1024
+    lr: float = 1e-3
+    dt: float = 1.0
+    train_timesteps: int = 30
+    bootstrap_rate: int = 50      # curriculum pace (main_pn.py:94)
+    split_epoch: int = 10000      # adaptive splitting starts after this epoch
+    epsilon: float = 1.0          # loss-weight decay rate (main_pn.py:96)
+    initial_timesteps: int = 20   # current_timesteps at start (main_pn.py:98)
+    log_step: int = 10
+    save_step: int = 100
+    seed: int = 1
+
+
+def init_training(cfg: ModelConfig, tcfg: TrainConfig):
+    """Build network, initial params, and optimizer."""
+    network = make_network(cfg)
+    state = make_initial_state(cfg)
+    full_cov, _ = covariance_of(state)
+    n = state.capacity
+    dummy = dict(
+        means=state.means, full_cov=full_cov, u=state.u,
+        boundaries=state.boundary.astype(cfg.dtype),
+        sample_u=jnp.zeros((n, cfg.channels), cfg.dtype),
+        sample_ux=jnp.zeros((n, cfg.d * cfg.channels), cfg.dtype),
+        sample_uxx=jnp.zeros((n, cfg.d * cfg.channels), cfg.dtype),
+        sample_pde=jnp.zeros((n, cfg.pde_size), cfg.dtype),
+        active=state.active,
+        nbr=jnp.zeros((n, n), bool),
+    )
+    params = network.init(
+        jax.random.PRNGKey(tcfg.seed), dummy["means"], dummy["full_cov"],
+        dummy["u"], dummy["boundaries"], dummy["sample_u"], dummy["sample_ux"],
+        dummy["sample_uxx"], dummy["sample_pde"], dummy["active"], dummy["nbr"],
+        cfg.period)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=tcfg.lr)
+    opt_state = opt.init(params)
+    return network, params, opt, opt_state
+
+
+def _filter_finite(losses: Losses) -> Losses:
+    """Zero non-finite loss components (main_pn.py:183-192)."""
+    def f(x):
+        return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+    return Losses(*(f(l) for l in losses))
+
+
+@partial(jax.jit, static_argnames=("cfg", "network", "opt"))
+def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
+            state: MixtureState, prev_fields: StepFields,
+            samples, time_samples, bc_samples,
+            loss_weight, base_lr, epsilon, t, dt):
+    """One dynamics timestep + one optimizer update (main_pn.py:171-232)."""
+
+    def loss_fn(p):
+        new_state, deltas = forward_step(cfg, network, p, state, t=t)
+        curr = sample_fields(cfg, new_state, samples, bc_samples)
+        losses = compute_loss(cfg, new_state, deltas, prev_fields, curr,
+                              samples, time_samples, t, dt)
+        losses = _filter_finite(losses)
+        return losses.total, (new_state, curr, losses)
+
+    grads, (new_state, curr, losses) = jax.grad(loss_fn, has_aux=True)(params)
+
+    opt_state.hyperparams["learning_rate"] = base_lr * loss_weight
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+
+    total = losses.total
+    new_loss_weight = loss_weight * jnp.exp(-epsilon * total)
+
+    # Truncated BPTT: cut the graph between timesteps (model.detach()).
+    new_state = jax.tree_util.tree_map(jax.lax.stop_gradient, new_state)
+    curr = jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.lax.stop_gradient(x), curr,
+        is_leaf=lambda x: x is None)
+    return params, opt_state, new_state, curr, losses, new_loss_weight
+
+
+def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
+                params, opt_state, key, epoch: int, current_timesteps: int):
+    """One epoch: fresh randomized ICs, curriculum-bounded timestep loop."""
+    k_rand, k_s, k_t, k_bc, k_n = jax.random.split(key, 5)
+    samples = collocation_samples(k_s, tcfg.n_samples, cfg.d, cfg.scale,
+                                  cfg.dtype)
+    time_samples = jax.random.uniform(k_t, (tcfg.n_samples,), cfg.dtype)
+    bc_samples = boundary_band_samples(k_bc, tcfg.n_samples, cfg.scale,
+                                       cfg.dtype)
+
+    n = int(jax.random.randint(k_n, (), 15, 40))
+    state = randomize_state(cfg, k_rand, n)
+    prev_fields = sample_fields(cfg, state, samples, bc_samples)
+    prev_fields = jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.lax.stop_gradient(x), prev_fields,
+        is_leaf=lambda x: x is None)
+
+    loss_weight = jnp.ones((), cfg.dtype)
+    n_steps = min(min(epoch // tcfg.bootstrap_rate + 1, current_timesteps),
+                  tcfg.train_timesteps)
+    totals = np.zeros(5)
+    all_sufficient = True
+    for i in range(n_steps):
+        t = i * tcfg.dt
+        params, opt_state, state, prev_fields, losses, loss_weight = pn_step(
+            cfg, network, opt, params, opt_state, state, prev_fields,
+            samples, time_samples, bc_samples, loss_weight,
+            jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
+            jnp.asarray(t, cfg.dtype), tcfg.dt)
+        step_losses = np.array([float(losses.pde), float(losses.bc),
+                                float(losses.conservation),
+                                float(losses.initial), float(losses.magnitude)])
+        totals += step_losses
+        all_sufficient &= step_losses[:4].sum() < 1.0
+
+    if all_sufficient:
+        current_timesteps = min(epoch // tcfg.bootstrap_rate + 1,
+                                current_timesteps) + 1
+    return params, opt_state, totals, current_timesteps, n_steps
+
+
+def train(cfg: ModelConfig, tcfg: TrainConfig,
+          checkpoint_dir: Optional[str] = None,
+          log_fn=print):
+    """Full training driver (main_pn.py:101-277)."""
+    from pigs_tpu.train.checkpoint import save_checkpoint
+
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    key = jax.random.PRNGKey(tcfg.seed)
+    current_timesteps = tcfg.initial_timesteps
+    training_loss = []
+    window = np.zeros(5)
+    window_steps = 0
+    for epoch in range(tcfg.n_epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, totals, current_timesteps, n_steps = train_epoch(
+            cfg, tcfg, network, opt, params, opt_state, sub, epoch,
+            current_timesteps)
+        window += totals
+        window_steps += n_steps
+        if (epoch + 1) % tcfg.log_step == 0:
+            avg = window[:4].sum() / max(window_steps, 1) * tcfg.train_timesteps
+            training_loss.append(avg)
+            log_fn(f"Epoch {epoch}: Total Loss {avg:.6f}  "
+                   f"(pde {window[0]:.4f} bc {window[1]:.4f} "
+                   f"cons {window[2]:.4f} mag {window[4]:.4f}) "
+                   f"steps/epoch {n_steps}")
+            window[:] = 0
+            window_steps = 0
+        if checkpoint_dir and (epoch + 1) % tcfg.save_step == 0:
+            save_checkpoint(checkpoint_dir, epoch + 1, params, opt_state,
+                            training_loss)
+    return network, params, opt_state, training_loss
+
+
+def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
+            res: int = 64, state: Optional[MixtureState] = None):
+    """Inference rollout producing field frames + wall-clock timing
+    (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time)."""
+    if state is None:
+        state = make_initial_state(cfg)
+    samples = image_samples(res, cfg.scale, cfg.dtype)
+
+    @jax.jit
+    def render(state):
+        _, conics = covariance_of(state)
+        out = eval_mixture(state.means, conics, state.u, samples, order=0,
+                           mask=state.interior, period=cfg.period)
+        return out.u.T.reshape(-1, res, res)
+
+    @jax.jit
+    def evolve(state):
+        new_state, _ = forward_step(cfg, network, params, state)
+        return new_state
+
+    frames = []
+    # Warm-up compile outside the timed region.
+    render(state).block_until_ready()
+    evolve(state)
+    evo_time = 0.0
+    for i in range(n_steps):
+        frames.append(np.asarray(render(state)))
+        start = time.time()
+        state = jax.block_until_ready(evolve(state))
+        evo_time += time.time() - start
+    return np.stack(frames), evo_time

@@ -1,0 +1,28 @@
+"""Test configuration: CPU backend with an 8-device virtual mesh, f64 enabled.
+
+Mirrors the strategy in SURVEY.md §4's "implication for the build": the dense jnp
+oracle replaces gaussians.py's pure-torch twins as the correctness reference,
+``jax.test_util.check_grads`` (f64) replaces ``torch.autograd.gradcheck``, and
+multi-device sharding tests run on a virtual CPU mesh.
+"""
+
+import os
+
+# Must be set before the first backend is initialized.  Force (not setdefault):
+# the environment pins JAX_PLATFORMS=axon (the TPU tunnel) globally, and tests
+# must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA-CPU compiles dominate test wall-clock on small
+# hosts; caching them across runs makes the suite fast after the first pass.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

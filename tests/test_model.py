@@ -1,0 +1,136 @@
+"""Model layer: initial states, forward step, losses, adaptive split."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigs_tpu.models.model import (ModelConfig, adaptive_split, compute_loss,
+                                   forward_step, make_initial_state,
+                                   make_network, randomize_state, sample_fields)
+from pigs_tpu.models.state import active_count
+from pigs_tpu.pde import IntegrationRule, Problem
+from pigs_tpu.train.pn import TrainConfig, init_training
+
+
+def small_cfg(problem=Problem.BURGERS, capacity=160):
+    return ModelConfig.create(problem, IntegrationRule.TRAPEZOID, nx=6, ny=6,
+                              d=2, scale=1.0, capacity=capacity,
+                              dtype=jnp.float32)
+
+
+def test_initial_state_burgers_layout():
+    cfg = small_cfg()
+    st = make_initial_state(cfg)
+    # 100 boundary Gaussians on the four walls (model_pn.py:405-421) + 6x6 grid.
+    assert int(np.asarray(st.boundary).sum()) == 100
+    assert int(active_count(st)) == 136
+    bmeans = np.asarray(st.means)[:100]
+    assert (np.abs(bmeans).max(axis=1) >= 1.0 - 1e-6).all()
+
+
+def test_initial_state_test_problem():
+    cfg = small_cfg(Problem.TEST, capacity=80)
+    st = make_initial_state(cfg)
+    assert int(np.asarray(st.boundary).sum()) == 50
+    assert int(active_count(st)) == 56
+    interior_u = np.asarray(st.u)[np.asarray(st.interior)]
+    np.testing.assert_allclose(interior_u, 1.0)
+
+
+def test_randomize_preserves_boundary():
+    cfg = small_cfg()
+    st0 = make_initial_state(cfg)
+    st = randomize_state(cfg, jax.random.PRNGKey(0), n=6)
+    b = np.asarray(st.boundary)
+    np.testing.assert_allclose(np.asarray(st.means)[b],
+                               np.asarray(st0.means)[b])
+    # Interior means moved.
+    i0 = np.asarray(st0.interior)
+    assert not np.allclose(np.asarray(st.means)[i0],
+                           np.asarray(st0.means)[i0])
+
+
+@pytest.fixture(scope="module")
+def trained_setup():
+    cfg = small_cfg()
+    network, params, opt, opt_state = init_training(cfg, TrainConfig(seed=0))
+    state = make_initial_state(cfg)
+    return cfg, network, params, state
+
+
+def test_forward_step_updates_interior_only(trained_setup):
+    cfg, network, params, state = trained_setup
+    new_state, deltas = forward_step(cfg, network, params, state)
+    b = np.asarray(state.boundary)
+    np.testing.assert_allclose(np.asarray(new_state.means)[b],
+                               np.asarray(state.means)[b])
+    np.testing.assert_allclose(np.asarray(new_state.u)[b],
+                               np.asarray(state.u)[b])
+    i = np.asarray(state.interior)
+    assert np.isfinite(np.asarray(deltas.dmeans)).all()
+    assert not np.allclose(np.asarray(new_state.means)[i],
+                           np.asarray(state.means)[i])
+    # Inactive slots unchanged.
+    free = ~np.asarray(state.active)
+    np.testing.assert_allclose(np.asarray(new_state.means)[free],
+                               np.asarray(state.means)[free])
+
+
+def test_loss_finite_and_positive(trained_setup):
+    cfg, network, params, state = trained_setup
+    key = jax.random.PRNGKey(1)
+    samples = (jax.random.uniform(key, (64, 2)) * 2.0 - 1.0).astype(jnp.float32)
+    bc = jnp.zeros((64, 2), jnp.float32)
+    ts = jax.random.uniform(key, (64,)).astype(jnp.float32)
+    prev = sample_fields(cfg, state, samples, bc)
+    new_state, deltas = forward_step(cfg, network, params, state)
+    curr = sample_fields(cfg, new_state, samples, bc)
+    losses = compute_loss(cfg, new_state, deltas, prev, curr, samples, ts,
+                          t=0.0, dt=1.0)
+    for name, val in losses._asdict().items():
+        assert np.isfinite(float(val)), name
+    assert float(losses.pde) >= 0
+    assert float(losses.conservation) > 0
+
+
+def test_gradients_flow_to_params(trained_setup):
+    cfg, network, params, state = trained_setup
+    key = jax.random.PRNGKey(2)
+    samples = (jax.random.uniform(key, (32, 2)) * 2.0 - 1.0).astype(jnp.float32)
+    bc = jnp.zeros((32, 2), jnp.float32)
+    ts = jax.random.uniform(key, (32,)).astype(jnp.float32)
+    prev = sample_fields(cfg, state, samples, bc)
+
+    def loss_fn(p):
+        new_state, deltas = forward_step(cfg, network, p, state)
+        curr = sample_fields(cfg, new_state, samples, bc)
+        return compute_loss(cfg, new_state, deltas, prev, curr, samples, ts,
+                            t=0.0, dt=1.0).total
+
+    grads = jax.grad(loss_fn)(params)
+    norms = jax.tree_util.tree_map(lambda g: float(jnp.sum(g ** 2)), grads)
+    total = sum(jax.tree_util.tree_leaves(norms))
+    assert np.isfinite(total) and total > 0
+
+
+def test_adaptive_split_runs(trained_setup):
+    cfg, network, params, state = trained_setup
+    new_state, _ = forward_step(cfg, network, params, state)
+    split_state = adaptive_split(cfg, new_state, state)
+    assert np.isfinite(np.asarray(split_state.means)).all()
+    # Count can only stay or grow (prune removes |u|<0.01 interior though).
+    assert int(active_count(split_state)) <= cfg.capacity
+
+
+def test_navier_stokes_step():
+    cfg = small_cfg(Problem.NAVIER_STOKES, capacity=64)
+    network, params, opt, opt_state = init_training(cfg, TrainConfig(seed=0))
+    state = make_initial_state(cfg)
+    # Give NS a nonzero field so vorticity paths are exercised.
+    state = state._replace(u=state.u + 0.1)
+    new_state, deltas = forward_step(cfg, network, params, state)
+    assert np.isfinite(np.asarray(new_state.u)).all()
+    # Means stay in the fundamental domain (periodic wrap).
+    i = np.asarray(new_state.interior)
+    assert (np.abs(np.asarray(new_state.means)[i]) <= 1.0 + 1e-6).all()

@@ -1,0 +1,89 @@
+"""No-MLP direct solver: IC fitting converges, PDE timestep optimizes, densify.
+
+The behavioral analog of the reference's CPU-runnable 1D config
+(test_no_mlp_1d.py; BASELINE.json configs[0]).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pigs_tpu.ops.mixture import eval_mixture
+from pigs_tpu.pde import Problem
+from pigs_tpu.train.no_mlp import (NoMLPConfig, concrete, densify, init_params,
+                                   solve_timestep)
+import optax
+
+
+def cfg_1d(**kw):
+    defaults = dict(problem=Problem.BURGERS, d=1, scale=2.5, n_init=25,
+                    capacity=64, n_samples=128, dt=0.05, block_iters=50,
+                    max_iters=600, tol=1e-4, dtype=jnp.float32)
+    defaults.update(kw)
+    return NoMLPConfig(**defaults)
+
+
+def test_fit_initial_condition_1d():
+    cfg = cfg_1d()
+    params, active = init_params(cfg)
+    params, active, loss = solve_timestep(cfg, params, active, None,
+                                          jax.random.PRNGKey(0),
+                                          first_step=True)
+    assert loss < 5e-3, loss
+    # Rendered field matches the target bump.
+    means, conics, values = concrete(cfg, params)
+    xs = jnp.linspace(-1, 1, 100, dtype=jnp.float32).reshape(-1, 1) * cfg.scale
+    out = eval_mixture(means, conics, values, xs, order=0, mask=active)
+    desired = np.exp(-2.0 * np.asarray(xs[:, 0]) ** 2)
+    err = np.mean((np.asarray(out.u[:, 0]) - desired) ** 2)
+    assert err < 1e-2, err
+
+
+def test_pde_timestep_reduces_residual_1d():
+    cfg = cfg_1d(max_iters=800)
+    params, active = init_params(cfg)
+    params, active, _ = solve_timestep(cfg, params, active, None,
+                                       jax.random.PRNGKey(0), first_step=True)
+    means, conics, values = concrete(cfg, params)
+    prev = (means, conics, values, active)
+    # Loss after a single block (baseline) vs after the full optimization.
+    cfg_short = cfg._replace(max_iters=cfg.block_iters)
+    _, _, loss_short = solve_timestep(cfg_short, params, active, prev,
+                                      jax.random.PRNGKey(1), first_step=False)
+    params2, active2, loss = solve_timestep(cfg, params, active, prev,
+                                            jax.random.PRNGKey(1),
+                                            first_step=False)
+    assert np.isfinite(loss)
+    assert loss < 0.05, loss
+    assert loss <= loss_short + 1e-6, (loss, loss_short)
+
+
+def test_densify_prunes_and_splits():
+    cfg = cfg_1d(capacity=40)
+    params, active = init_params(cfg)
+    # Make some values large (kept), some tiny (pruned).
+    values = params.values.at[:, 0].set(0.5)
+    values = values.at[5, 0].set(0.001)   # pruned: |v| < 0.01
+    params = params._replace(values=values)
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+    # Fake accumulated gradients: one slot dominates -> split.
+    grad = jnp.zeros_like(params.raw_means).at[7, 0].set(10.0)
+    new_params, new_opt_state, new_active = densify(cfg, params, opt_state,
+                                                    active, grad)
+    a0 = np.asarray(active)
+    a1 = np.asarray(new_active)
+    assert a1[7]                 # split parent kept
+    assert a1.sum() == a0.sum()  # one pruned + one child added
+    # The child landed in some free slot (pruned slots are reusable), displaced
+    # by the accumulated gradient.
+    expected_child = float(params.raw_means[7, 0] + 10.0)
+    child_slots = np.nonzero(
+        np.isclose(np.asarray(new_params.raw_means[:, 0]), expected_child)
+        & a1)[0]
+    assert len(child_slots) == 1
+    child = int(child_slots[0])
+    assert child != 7
+    # Adam moments of the child slot are zero.
+    adam_state = new_opt_state[0]
+    assert float(jnp.sum(jnp.abs(adam_state.mu.raw_means[child]))) == 0.0

@@ -133,7 +133,13 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     bc_samples = boundary_band_samples(k_bc, tcfg.n_samples, cfg.scale,
                                        cfg.dtype)
 
+    # Domain-randomized grid edge n in [15, 40) (main_pn.py:153), clamped so
+    # n^2 interior + boundary Gaussians fit the padded capacity.
+    n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
+        50 if cfg.problem == Problem.TEST else 100)
+    n_max = int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1))))
     n = int(jax.random.randint(k_n, (), 15, 40))
+    n = min(n, n_max)
     state = randomize_state(cfg, k_rand, n)
     prev_fields = sample_fields(cfg, state, samples, bc_samples)
     prev_fields = jax.tree_util.tree_map(

@@ -1,0 +1,87 @@
+"""Gaussian-mixture solutions vs independent finite-difference ground truth.
+
+The analog of the reference's test_numerical.py / test_numerical_2d.py (py-pde
+comparisons), using the in-tree RK4 FD solvers.  Validates BASELINE.json
+config 1 behavior: the 1D no-MLP Burgers solve must track the FD solution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigs_tpu.ops.mixture import eval_mixture
+from pigs_tpu.pde import Problem
+from pigs_tpu.train.no_mlp import NoMLPConfig, concrete, solve
+from pigs_tpu.utils.fd import solve_fd_1d, solve_fd_2d
+
+
+def test_fd_diffusion_decays_mass_interior():
+    xs = jnp.linspace(-1, 1, 101)
+    u0 = jnp.exp(-2.0 * (xs * 2.5) ** 2)
+    traj = solve_fd_1d(u0, scale=2.5, dt=0.1, steps=3, problem="diffusion")
+    peaks = np.asarray(traj[:, 50])
+    assert (np.diff(peaks) < 0).all()           # peak decays
+    assert traj.shape == (4, 101)
+
+
+def test_fd_burgers_advects_right():
+    xs = jnp.linspace(-1, 1, 201) * 2.5
+    u0 = jnp.exp(-2.0 * xs ** 2)
+    traj = solve_fd_1d(u0, scale=2.5, dt=0.05, steps=4, problem="burgers",
+                       nu=1.0 / (100.0 * np.pi))
+    c0 = np.average(np.asarray(xs), weights=np.asarray(traj[0]) + 1e-9)
+    c1 = np.average(np.asarray(xs), weights=np.asarray(traj[-1]) + 1e-9)
+    assert c1 > c0 + 0.01                        # positive u advects right
+    # Mass approximately conserved over short horizons (nu small).
+    np.testing.assert_allclose(np.asarray(traj[-1]).sum(),
+                               np.asarray(traj[0]).sum(), rtol=0.05)
+
+
+def test_fd_wave_oscillates():
+    xs = jnp.linspace(-1, 1, 101) * 2.5
+    u0 = jnp.stack([jnp.exp(-2.0 * xs ** 2), jnp.zeros_like(xs)], axis=-1)
+    traj = solve_fd_1d(u0, scale=2.5, dt=0.05, steps=4, problem="wave")
+    assert np.isfinite(np.asarray(traj)).all()
+    # Energy moves into the velocity channel.
+    assert float(jnp.abs(traj[-1][:, 1]).max()) > 0.01
+
+
+def test_no_mlp_burgers_tracks_fd():
+    """The end-to-end physics check: mixture solve vs FD solve, 1D Burgers."""
+    cfg = NoMLPConfig(problem=Problem.BURGERS, d=1, scale=2.5, n_init=25,
+                      capacity=64, n_samples=128, dt=0.05, block_iters=50,
+                      max_iters=600, tol=2e-5, dtype=jnp.float32)
+    traj = solve(cfg, jax.random.PRNGKey(0), n_timesteps=4)
+
+    res = 201
+    xs = jnp.linspace(-1, 1, res, dtype=jnp.float32).reshape(-1, 1) * cfg.scale
+    u0 = jnp.exp(-2.0 * xs[:, 0] ** 2)
+    fd = solve_fd_1d(u0, scale=cfg.scale, dt=cfg.dt, steps=3,
+                     problem="burgers", nu=cfg.nu)
+
+    rels = []
+    for i, snap in enumerate(traj):
+        means, conics, values = concrete(cfg, snap["params"])
+        u = eval_mixture(means, conics, values, xs, order=0,
+                         mask=snap["active"]).u[:, 0]
+        rel = (float(jnp.linalg.norm(u - fd[i]))
+               / float(jnp.linalg.norm(fd[i])))
+        rels.append(rel)
+    # IC fit tight; subsequent steps track within a few percent.
+    assert rels[0] < 0.05, rels
+    assert max(rels) < 0.15, rels
+
+
+def test_fd_2d_shapes_and_stability():
+    res = 64
+    t = jnp.linspace(-1, 1, res) * 2.5
+    gx, gy = jnp.meshgrid(t, t, indexing="ij")
+    u0 = jnp.exp(-(gx ** 2 + gy ** 2) / (2 * 0.125))
+    traj = solve_fd_2d(u0, scale=2.5, dt=0.05, steps=2, problem="burgers",
+                       nu=0.0318, substeps=200)
+    assert traj.shape == (3, res, res)
+    assert np.isfinite(np.asarray(traj)).all()
+    c0 = np.average(np.asarray(gx), weights=np.asarray(traj[0]) + 1e-9)
+    c1 = np.average(np.asarray(gx), weights=np.asarray(traj[-1]) + 1e-9)
+    assert c1 > c0  # advection along +x

@@ -23,8 +23,8 @@ from flax import linen as nn
 
 from pigs_tpu.ops.aggregate import aggregate_neighbors
 
-__all__ = ["DynamicsNetwork", "Deltas", "LATENT_SIZE", "ATTENTION_HEADS",
-           "EMBEDDING_SIZE"]
+__all__ = ["DynamicsNetwork", "Deltas", "WaveAct", "RBFAct", "LATENT_SIZE",
+           "ATTENTION_HEADS", "EMBEDDING_SIZE"]
 
 LATENT_SIZE = 16
 L1_SIZE = 16
@@ -42,6 +42,29 @@ class Deltas(NamedTuple):
     # Per-head magnitude of the aggregated features, for the attention-magnitude
     # loss (model_pn.py:892-901).
     head_magnitudes: jax.Array  # (heads,)
+
+
+class WaveAct(nn.Module):
+    """Learned sin+cos activation (model_pn.py:26-33; unused by the default
+    Model, which hardcodes Tanh at model_pn.py:425-426, but part of the API)."""
+
+    @nn.compact
+    def __call__(self, x):
+        w1 = self.param("w1", nn.initializers.ones, (1,))
+        w2 = self.param("w2", nn.initializers.ones, (1,))
+        return w1 * jnp.sin(x) + w2 * jnp.cos(x)
+
+
+class RBFAct(nn.Module):
+    """Gaussian radial activation (model_pn.py:35-42)."""
+
+    in_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b = self.param("b", nn.initializers.ones, (1,))
+        c = self.param("c", nn.initializers.zeros, (self.in_dim,))
+        return jnp.exp(-b * (x - c) ** 2)
 
 
 class MLP(nn.Module):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from pigs_tpu.ops.oracle import MixtureFields, eval_mixture_dense
 
-__all__ = ["eval_mixture"]
+__all__ = ["eval_mixture", "eval_mixture_region", "eval_mixture_image"]
 
 
 def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
@@ -97,3 +97,29 @@ def eval_mixture(
             flat = field.reshape(-1, *field.shape[2:])
             merged.append(flat[:true_m])
     return MixtureFields(*merged)
+
+
+def eval_mixture_region(means, conics, values, center, size: int, dx: float,
+                        order: int = 0, mask=None, period=None) -> MixtureFields:
+    """Evaluate on a ``size^d`` grid of offsets around ``center``.
+
+    Working version of the reference's broken ``sample_gaussians_region``
+    (gaussians.py:68-71 calls an undefined helper; SURVEY.md §2.2 defect list).
+    """
+    from pigs_tpu.utils.sampling import region_kernel
+    d = means.shape[-1]
+    offsets = region_kernel(size, dx, d, dtype=means.dtype)
+    return eval_mixture(means, conics, values,
+                        jnp.asarray(center).reshape(1, d) + offsets,
+                        order=order, mask=mask, period=period)
+
+
+def eval_mixture_image(means, conics, values, res: int, scale: float = 1.0,
+                       mask=None, period=None) -> jax.Array:
+    """Render the field on the reference's image grid (gaussians.py:73-87):
+    returns ``(res, res, c)`` with xy indexing and the y axis flipped."""
+    from pigs_tpu.utils.sampling import image_samples
+    samples = image_samples(res, scale, dtype=means.dtype)
+    out = eval_mixture(means, conics, values, samples, order=0, mask=mask,
+                       period=period)
+    return out.u.reshape(res, res, -1)

@@ -39,8 +39,48 @@ from pigs_tpu.pde import Problem
 from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
                                      image_samples)
 
-__all__ = ["TrainConfig", "init_training", "pn_step", "train_epoch", "train",
-           "rollout"]
+__all__ = ["TrainConfig", "NSDataset", "init_training", "pn_step",
+           "train_epoch", "train", "rollout", "rollout_metrics"]
+
+
+class NSDataset(NamedTuple):
+    """Stored Navier-Stokes initializations + FNO vorticity frames.
+
+    The reference loads per-trajectory Gaussian fits (``initialization/V1e-3/
+    f_{i}-small.pt``) and the FNO dataset (``ns_V1e-3_N50_T50.npy``),
+    main_pn.py:36-49; here the same data is a stacked pytree, loadable from
+    ``.npz`` via :meth:`load`.
+
+    Shapes: means (K, N0, d), u (K, N0, c), scaling (K, N0, d),
+    transforms (K, N0, T), frames (K, res, res, T) — vorticity per timestep.
+    """
+
+    means: jax.Array
+    u: jax.Array
+    scaling: jax.Array
+    transforms: jax.Array
+    frames: jax.Array
+
+    @staticmethod
+    def load(path: str) -> "NSDataset":
+        data = np.load(path)
+        return NSDataset(*(jnp.asarray(data[k]) for k in
+                           ("means", "u", "scaling", "transforms", "frames")))
+
+    def state_for(self, cfg: ModelConfig, index: int) -> MixtureState:
+        from pigs_tpu.models.state import init_state
+        return init_state(cfg.capacity, self.means[index], self.scaling[index],
+                          self.transforms[index], self.u[index])
+
+    def recon_target(self, index: int, timestep: int,
+                     samples: jax.Array) -> jax.Array:
+        """Vorticity frame looked up at the collocation points
+        (main_pn.py:202-212 coordinate convention)."""
+        frame = self.frames[index, :, :, timestep]
+        res = frame.shape[0]
+        coords = jnp.clip(((samples + 1.0) / 2.0 * res).astype(jnp.int32),
+                          0, res - 1)
+        return frame[coords[:, 1], coords[:, 0]]
 
 
 class TrainConfig(NamedTuple):
@@ -95,8 +135,13 @@ def _filter_finite(losses: Losses) -> Losses:
 def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
             state: MixtureState, prev_fields: StepFields,
             samples, time_samples, bc_samples,
-            loss_weight, base_lr, epsilon, t, dt):
-    """One dynamics timestep + one optimizer update (main_pn.py:171-232)."""
+            loss_weight, base_lr, epsilon, t, dt,
+            recon_target=None, recon_weight=5.0):
+    """One dynamics timestep + one optimizer update (main_pn.py:171-232).
+
+    ``recon_target`` (m,) adds the NS vorticity-reconstruction loss
+    (main_pn.py:202-212) with weight ``recon_weight``.
+    """
 
     def loss_fn(p):
         new_state, deltas = forward_step(cfg, network, p, state, t=t)
@@ -104,15 +149,20 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
         losses = compute_loss(cfg, new_state, deltas, prev_fields, curr,
                               samples, time_samples, t, dt)
         losses = _filter_finite(losses)
-        return losses.total, (new_state, curr, losses)
+        total = losses.total
+        if recon_target is not None:
+            recon = recon_weight * jnp.mean((curr.w - recon_target) ** 2)
+            recon = jnp.where(jnp.isfinite(recon), recon, 0.0)
+            total = total + recon
+        return total, (new_state, curr, losses, total)
 
-    grads, (new_state, curr, losses) = jax.grad(loss_fn, has_aux=True)(params)
+    grads, (new_state, curr, losses, total) = jax.grad(
+        loss_fn, has_aux=True)(params)
 
     opt_state.hyperparams["learning_rate"] = base_lr * loss_weight
     updates, opt_state = opt.update(grads, opt_state)
     params = optax.apply_updates(params, updates)
 
-    total = losses.total
     new_loss_weight = loss_weight * jnp.exp(-epsilon * total)
 
     # Truncated BPTT: cut the graph between timesteps (model.detach()).
@@ -124,7 +174,8 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
 
 
 def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
-                params, opt_state, key, epoch: int, current_timesteps: int):
+                params, opt_state, key, epoch: int, current_timesteps: int,
+                ns_data: Optional[NSDataset] = None):
     """One epoch: fresh randomized ICs, curriculum-bounded timestep loop."""
     k_rand, k_s, k_t, k_bc, k_n = jax.random.split(key, 5)
     samples = collocation_samples(k_s, tcfg.n_samples, cfg.d, cfg.scale,
@@ -133,14 +184,21 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     bc_samples = boundary_band_samples(k_bc, tcfg.n_samples, cfg.scale,
                                        cfg.dtype)
 
-    # Domain-randomized grid edge n in [15, 40) (main_pn.py:153), clamped so
-    # n^2 interior + boundary Gaussians fit the padded capacity.
-    n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
-        50 if cfg.problem == Problem.TEST else 100)
-    n_max = int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1))))
-    n = int(jax.random.randint(k_n, (), 15, 40))
-    n = min(n, n_max)
-    state = randomize_state(cfg, k_rand, n)
+    data_index = None
+    if cfg.problem == Problem.NAVIER_STOKES and ns_data is not None:
+        # Fresh stored initialization per epoch (main_pn.py:142-149).
+        data_index = int(jax.random.randint(
+            k_n, (), 0, ns_data.means.shape[0]))
+        state = ns_data.state_for(cfg, data_index)
+    else:
+        # Domain-randomized grid edge n in [15, 40) (main_pn.py:153), clamped
+        # so n^2 interior + boundary Gaussians fit the padded capacity.
+        n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
+            50 if cfg.problem == Problem.TEST else 100)
+        n_max = int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1))))
+        n = int(jax.random.randint(k_n, (), 15, 40))
+        n = min(n, n_max)
+        state = randomize_state(cfg, k_rand, n)
     prev_fields = sample_fields(cfg, state, samples, bc_samples)
     prev_fields = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), prev_fields,
@@ -153,11 +211,13 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     all_sufficient = True
     for i in range(n_steps):
         t = i * tcfg.dt
+        recon = (ns_data.recon_target(data_index, i + 1, samples)
+                 if data_index is not None else None)
         params, opt_state, state, prev_fields, losses, loss_weight = pn_step(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, loss_weight,
             jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
-            jnp.asarray(t, cfg.dtype), tcfg.dt)
+            jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
         step_losses = np.array([float(losses.pde), float(losses.bc),
                                 float(losses.conservation),
                                 float(losses.initial), float(losses.magnitude)])
@@ -172,21 +232,31 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
 
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           checkpoint_dir: Optional[str] = None,
+          resume: bool = False,
+          ns_data: Optional[NSDataset] = None,
           log_fn=print):
-    """Full training driver (main_pn.py:101-277)."""
+    """Full training driver (main_pn.py:101-277); ``resume`` restores the
+    latest checkpoint (the reference's argv resume path, main_pn.py:66-73)."""
     from pigs_tpu.train.checkpoint import save_checkpoint
 
     network, params, opt, opt_state = init_training(cfg, tcfg)
     key = jax.random.PRNGKey(tcfg.seed)
     current_timesteps = tcfg.initial_timesteps
     training_loss = []
+    start_epoch = 0
+    if checkpoint_dir and resume:
+        from pigs_tpu.train.checkpoint import restore_checkpoint
+        restored = restore_checkpoint(checkpoint_dir, params)
+        if restored is not None:
+            start_epoch, params, training_loss = restored
+            log_fn(f"Resumed from {checkpoint_dir} at epoch {start_epoch}")
     window = np.zeros(5)
     window_steps = 0
-    for epoch in range(tcfg.n_epochs):
+    for epoch in range(start_epoch, tcfg.n_epochs):
         key, sub = jax.random.split(key)
         params, opt_state, totals, current_timesteps, n_steps = train_epoch(
             cfg, tcfg, network, opt, params, opt_state, sub, epoch,
-            current_timesteps)
+            current_timesteps, ns_data=ns_data)
         window += totals
         window_steps += n_steps
         if (epoch + 1) % tcfg.log_step == 0:
@@ -235,3 +305,19 @@ def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
         state = jax.block_until_ready(evolve(state))
         evo_time += time.time() - start
     return np.stack(frames), evo_time
+
+
+def rollout_metrics(frames: np.ndarray, ground_truth: np.ndarray):
+    """Rollout accuracy vs a stored ground-truth trajectory: per-step relative
+    L2 norm and its mean (main_pn.py:289, 400-401, 483-484)."""
+    frames = np.asarray(frames)
+    gt = np.asarray(ground_truth)
+    n = min(frames.shape[0], gt.shape[0])
+    norms = []
+    for i in range(n):
+        a = frames[i].reshape(-1)
+        b = gt[i].reshape(-1)
+        denom = np.linalg.norm(b)
+        norms.append(float(np.linalg.norm(a - b) / (denom if denom else 1.0)))
+    return {"per_step_rel_norm": norms,
+            "mean_rel_norm": float(np.mean(norms))}

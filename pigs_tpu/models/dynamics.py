@@ -204,10 +204,21 @@ class DynamicsNetwork(nn.Module):
                           name=f"query_{h}")(features)
             keys = MLP([LATENT_SIZE, LATENT_SIZE, mid, L1_SIZE],
                        name=f"key_{h}")(features)
-            agg = aggregate_neighbors(
-                features, transform.astype(dtype), queries, keys, frequencies,
-                distance_transform.astype(dtype), means=means, mask=nbr_mask,
-                period=period)
+            use_fused = (jax.default_backend() != "cpu" and d == 2
+                         and dtype == jnp.float32)
+            if use_fused:
+                from pigs_tpu.ops.pallas_aggregate import (
+                    aggregate_neighbors_pallas, radii_of)
+                radii = radii_of(full_cov, active)
+                agg = aggregate_neighbors_pallas(
+                    features, transform.astype(dtype), queries, keys,
+                    frequencies, distance_transform.astype(dtype), means,
+                    radii, period=period)
+            else:
+                agg = aggregate_neighbors(
+                    features, transform.astype(dtype), queries, keys,
+                    frequencies, distance_transform.astype(dtype),
+                    means=means, mask=nbr_mask, period=period)
             magnitudes.append(jnp.mean(agg ** 2))
             all_features.append(agg)
 

@@ -87,3 +87,21 @@ def test_densify_prunes_and_splits():
     # Adam moments of the child slot are zero.
     adam_state = new_opt_state[0]
     assert float(jnp.sum(jnp.abs(adam_state.mu.raw_means[child]))) == 0.0
+
+
+def test_fit_initial_condition_2d_wave():
+    """2D wave IC fit (test_no_mlp.py config): channel 1 fits the bump,
+    channel 0 stays near zero."""
+    cfg = NoMLPConfig(problem=Problem.WAVE, d=2, scale=2.5, n_init=10,
+                      capacity=128, n_samples=256, dt=0.1, block_iters=50,
+                      max_iters=500, tol=1e-3, dtype=jnp.float32)
+    params0, active0 = init_params(cfg)
+    params, active, loss = solve_timestep(cfg, params0, active0, None,
+                                          jax.random.PRNGKey(0),
+                                          first_step=True)
+    assert loss < 0.05, loss
+    means, conics, values = concrete(cfg, params)
+    center = jnp.zeros((1, 2), jnp.float32)
+    out = eval_mixture(means, conics, values, center, order=0, mask=active)
+    assert float(out.u[0, 1]) > 0.5        # bump in channel 1
+    assert abs(float(out.u[0, 0])) < 0.3   # channel 0 suppressed

@@ -68,3 +68,50 @@ def test_sharded_gradients_equal_dense():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
                                    atol=1e-12)
+
+
+def test_dp_train_step_matches_single_device():
+    """shard_map DP training step produces the same update as pn_step's
+    single-device math (equal shards -> pmean of local means == global mean)."""
+    import optax
+    from pigs_tpu.models.model import (ModelConfig, make_initial_state,
+                                       sample_fields)
+    from pigs_tpu.parallel.train import make_dp_train_step
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import TrainConfig, init_training, pn_step
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=4, ny=4, d=2, scale=1.0, capacity=128,
+                             dtype=jnp.float32)
+    tcfg = TrainConfig(n_samples=64, seed=0)
+    network, params, _, _ = init_training(cfg, tcfg)
+    # SGD: parameter updates are linear in the gradients, so the DP and
+    # single-device paths must agree to f32 reduction-order noise (Adam's
+    # rsqrt normalization amplifies sign flips of near-zero grads).
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3)
+    opt_state = opt.init(params)
+    state = make_initial_state(cfg)
+    key = jax.random.PRNGKey(0)
+    m = 64
+    samples = (jax.random.uniform(key, (m, 2)) * 2 - 1).astype(jnp.float32)
+    ts = jax.random.uniform(key, (m,)).astype(jnp.float32)
+    bc = jnp.zeros((m, 2), jnp.float32)
+    prev = sample_fields(cfg, state, samples, bc)
+
+    mesh = make_mesh(shape=(8, 1))
+    dp_step = make_dp_train_step(mesh, cfg, network, opt)
+    p_dp, _, state_dp, _, loss_dp = dp_step(
+        params, opt_state, state, prev, samples, ts, bc,
+        jnp.asarray(1e-3, jnp.float32), jnp.zeros((), jnp.float32), 1.0)
+
+    p_sd, _, state_sd, _, losses_sd, _ = pn_step(
+        cfg, network, opt, params, opt_state, state, prev, samples, ts, bc,
+        jnp.ones((), jnp.float32), jnp.asarray(1e-3, jnp.float32), 1.0,
+        jnp.zeros((), jnp.float32), 1.0)
+
+    np.testing.assert_allclose(float(loss_dp), float(losses_sd.total),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_dp),
+                    jax.tree_util.tree_leaves(p_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=2e-5)

@@ -47,8 +47,10 @@ def main():
     means, conics, values, samples = make_inputs(m=m, n=n)
 
     def loss(means, conics, values):
+        # diff_samples=False matches training reality: collocation points are
+        # constants, so the sample-grad backward kernel is skipped.
         out = eval_mixture(means, conics, values, samples, order=2,
-                           sample_chunk=8192)
+                           sample_chunk=8192, diff_samples=False)
         return (jnp.sum(out.u ** 2) + jnp.sum(out.ux ** 2)
                 + jnp.sum(out.uxx ** 2))
 

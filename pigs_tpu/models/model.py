@@ -254,9 +254,10 @@ def sample_fields(cfg: ModelConfig, state: MixtureState, samples: jax.Array,
     _, conics = covariance_of(state)
     mask = state.interior
     out = eval_mixture(state.means, conics, state.u, samples,
-                       order=3 if ns else 2, mask=mask, period=cfg.period)
+                       order=3 if ns else 2, mask=mask, period=cfg.period,
+                       diff_samples=False)
     bc = eval_mixture(state.means, conics, state.u, bc_samples, order=0,
-                      mask=mask, period=cfg.period)
+                      mask=mask, period=cfg.period, diff_samples=False)
     w = wx = wxx = None
     if ns:
         w = out.ux[:, 0, 1] - out.ux[:, 1, 0]
@@ -284,9 +285,12 @@ def forward_step(
     full_cov, conics = covariance_of(state)
     n = state.capacity
 
+    # NOTE: samples here ARE the means, but the whole block is stop_gradient'd
+    # (the reference's no_grad, model_pn.py:645-664), so diff_samples=False is
+    # safe.
     fields = eval_mixture(state.means, conics, state.u, state.means,
                           order=3 if ns else 2, mask=state.active,
-                          period=cfg.period)
+                          period=cfg.period, diff_samples=False)
     fields = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), fields,
         is_leaf=lambda x: x is None)

@@ -37,7 +37,8 @@ def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
     return jnp.pad(x, pad_widths), size
 
 
-@partial(jax.jit, static_argnames=("order", "period", "sample_chunk", "impl"))
+@partial(jax.jit, static_argnames=("order", "period", "sample_chunk", "impl",
+                                   "diff_samples"))
 def eval_mixture(
     means: jax.Array,
     conics: jax.Array,
@@ -48,12 +49,18 @@ def eval_mixture(
     period: Optional[float] = None,
     sample_chunk: int = 1024,
     impl: str = "auto",
+    diff_samples: bool = True,
 ) -> MixtureFields:
     """Evaluate a Gaussian mixture field (value + derivatives) at sample points.
 
     Same contract as :func:`pigs_tpu.ops.oracle.eval_mixture_dense`; chunks the
     sample axis to bound memory.  Differentiable w.r.t. every tensor input to any
     order (JAX autodiff through the blocked map).
+
+    ``diff_samples=False`` promises the caller never differentiates w.r.t.
+    ``samples`` (true of every training loop — collocation points are
+    constants); the Pallas path then skips its sample-grad kernel, halving the
+    backward.  The blockwise path ignores the flag (autodiff handles it).
 
     ``impl``: "auto" uses the fused Pallas kernel on TPU for d=2 f32 (both the
     forward and its two-kernel analytic backward; ~14x faster fwd+bwd than the
@@ -74,7 +81,8 @@ def eval_mixture(
     if use_pallas:
         from pigs_tpu.ops.pallas_mixture import eval_mixture_pallas
         return eval_mixture_pallas(means, conics, values, samples, order=order,
-                                   mask=mask, period=period)
+                                   mask=mask, period=period,
+                                   diff_samples=diff_samples)
 
     m = samples.shape[0]
     if m <= sample_chunk:

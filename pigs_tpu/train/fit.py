@@ -121,11 +121,13 @@ def _concrete(cfg: FitConfig, params: RawParams):
 def _render(cfg: FitConfig, params, active, samples):
     means, conics, values = _concrete(cfg, params)
     if cfg.curl:
-        out = eval_mixture(means, conics, values, samples, order=1, mask=active)
+        out = eval_mixture(means, conics, values, samples, order=1,
+                           mask=active, diff_samples=False)
         img = out.ux[:, 0, 1] - out.ux[:, 1, 0]
         div = out.ux[:, 0, 0] + out.ux[:, 1, 1]
         return img, div
-    out = eval_mixture(means, conics, values, samples, order=0, mask=active)
+    out = eval_mixture(means, conics, values, samples, order=0, mask=active,
+                       diff_samples=False)
     return out.u[:, 0], None
 
 

@@ -133,7 +133,8 @@ def _loss_fn(cfg: NoMLPConfig, params: RawParams, active, prev, samples,
              time_samples, first_step: bool):
     means, conics, values = concrete(cfg, params)
     if first_step:
-        out = eval_mixture(means, conics, values, samples, order=0, mask=active)
+        out = eval_mixture(means, conics, values, samples, order=0, mask=active,
+                           diff_samples=False)
         desired = _initial_target(cfg, samples)
         if cfg.problem == Problem.WAVE:
             if cfg.d == 1:
@@ -144,7 +145,8 @@ def _loss_fn(cfg: NoMLPConfig, params: RawParams, active, prev, samples,
         return jnp.mean((out.u[:, 0] - desired) ** 2)
 
     prev_u, prev_ux, prev_uxx = prev
-    out = eval_mixture(means, conics, values, samples, order=2, mask=active)
+    out = eval_mixture(means, conics, values, samples, order=2, mask=active,
+                       diff_samples=False)
     ut = (out.u - prev_u) / cfg.dt
     ts = time_samples
     u = ts[:, None] * prev_u + (1 - ts[:, None]) * out.u

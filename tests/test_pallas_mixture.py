@@ -161,3 +161,26 @@ def test_pallas_odd_sizes_and_padding():
                                    rtol=3e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out.uxx), np.asarray(ref.uxx),
                                    rtol=3e-4, atol=1e-4)
+
+
+def test_diff_samples_false_keeps_param_grads():
+    """diff_samples=False must not change the Gaussian-parameter gradients;
+    the sample cotangent becomes zero (training-loop optimization)."""
+    means, con, values, samples = make(jax.random.PRNGKey(7), n=30, m=40)
+
+    def loss(diff_samples):
+        def inner(means, con, values, samples):
+            out = eval_mixture_pallas(means, con, values, samples, order=2,
+                                      diff_samples=diff_samples)
+            return jnp.sum(out.u ** 2) + jnp.sum(out.uxx ** 2)
+        return inner
+
+    with pltpu.force_tpu_interpret_mode():
+        g_on = jax.grad(loss(True), argnums=(0, 1, 2, 3))(means, con, values,
+                                                          samples)
+        g_off = jax.grad(loss(False), argnums=(0, 1, 2, 3))(means, con, values,
+                                                            samples)
+    for a, b in zip(g_on[:3], g_off[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert float(jnp.abs(g_on[3]).max()) > 0
+    np.testing.assert_allclose(np.asarray(g_off[3]), 0.0)

@@ -21,7 +21,7 @@ from jax import shard_map
 from pigs_tpu.ops.oracle import MixtureFields, eval_mixture_dense
 from pigs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["eval_mixture_sharded"]
+__all__ = ["eval_mixture_sharded", "eval_mixture_ring"]
 
 
 def eval_mixture_sharded(
@@ -55,6 +55,69 @@ def eval_mixture_sharded(
         local, mesh=mesh,
         in_specs=(gauss_spec, gauss_spec, gauss_spec, gauss_spec, P(DATA_AXIS)),
         out_specs=tuple(P(DATA_AXIS) for _ in range(n_orders)),
+    )
+    fields = fn(means, conics, values, mask, samples)
+    return MixtureFields(*(list(fields) + [None] * (4 - n_orders)))
+
+
+def eval_mixture_ring(
+    mesh: Mesh,
+    means: jax.Array,
+    conics: jax.Array,
+    values: jax.Array,
+    samples: jax.Array,
+    order: int = 0,
+    mask: Optional[jax.Array] = None,
+    period: Optional[float] = None,
+) -> MixtureFields:
+    """Ring-accumulation mixture evaluation for Gaussian counts too large to
+    replicate: Gaussians stay sharded over the ``model`` axis; each device
+    evaluates the resident shard against its sample shard, then the Gaussian
+    shards rotate around the ring via ``ppermute`` (ICI neighbor exchange)
+    until every device has seen every shard (SURVEY.md §5 "long-context"
+    note: blockwise streaming instead of an all-gather).
+
+    Peak per-device memory is O(local Gaussians + local samples); communication
+    is the same volume as an all-gather but overlapped with compute by XLA's
+    latency hiding.
+    """
+    if mask is None:
+        mask = jnp.ones(means.shape[0], bool)
+
+    n_orders = order + 1
+    axis_size = mesh.shape[MODEL_AXIS]
+
+    def local(means, conics, values, mask, samples):
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+        def rotate(x):
+            return jax.lax.ppermute(x, MODEL_AXIS, perm)
+
+        def body(carry, _):
+            (means, conics, values, mask), acc = carry
+            out = eval_mixture_dense(means, conics, values, samples,
+                                     order=order, mask=mask, period=period)
+            acc = tuple(a + f for a, f in zip(acc, out[:n_orders]))
+            shard = jax.tree_util.tree_map(rotate,
+                                           (means, conics, values, mask))
+            return (shard, acc), None
+
+        out0 = eval_mixture_dense(means, conics, values, samples, order=order,
+                                  mask=mask, period=period)
+        zeros = tuple(jnp.zeros_like(f) for f in out0[:n_orders])
+        (_, acc), _ = jax.lax.scan(
+            body, ((means, conics, values, mask), zeros), None,
+            length=axis_size)
+        return acc
+
+    gauss_spec = P(MODEL_AXIS)
+    # After a full ring rotation every device holds the complete sum; shard_map
+    # cannot infer that replication statically (check_vma=False).
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(gauss_spec, gauss_spec, gauss_spec, gauss_spec, P(DATA_AXIS)),
+        out_specs=tuple(P(DATA_AXIS) for _ in range(n_orders)),
+        check_vma=False,
     )
     fields = fn(means, conics, values, mask, samples)
     return MixtureFields(*(list(fields) + [None] * (4 - n_orders)))

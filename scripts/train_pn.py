@@ -59,6 +59,19 @@ def main():
         cfg, tcfg, checkpoint_dir=os.path.join(args.out, "checkpoints"),
         resume=args.resume, ns_data=ns_data)
 
+    if losses:
+        # Training-loss curve (main_pn.py:266-270).
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        plt.plot(losses)
+        plt.yscale("log")
+        plt.xlabel(f"epoch / {TrainConfig().log_step}")
+        plt.ylabel("total loss")
+        fig.savefig(os.path.join(args.out, "training_loss.png"))
+        plt.close(fig)
+
     frames, evo_time = rollout(cfg, network, params,
                                n_steps=args.rollout_steps,
                                res=args.rollout_res)

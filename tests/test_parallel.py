@@ -115,3 +115,36 @@ def test_dp_train_step_matches_single_device():
                     jax.tree_util.tree_leaves(p_sd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=2e-5)
+
+
+def test_ring_equals_dense():
+    from pigs_tpu.parallel.sharded import eval_mixture_ring
+    mesh = make_mesh(shape=(2, 4))
+    means, con, values, samples = make(jax.random.PRNGKey(5), n=40, m=32)
+    mask = jnp.arange(40) % 7 != 0
+    ring = eval_mixture_ring(mesh, means, con, values, samples, order=2,
+                             mask=mask)
+    dense = eval_mixture_dense(means, con, values, samples, order=2, mask=mask)
+    for a, b in zip(ring[:3], dense[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
+                                   atol=1e-13)
+
+
+def test_ring_gradients_equal_dense():
+    from pigs_tpu.parallel.sharded import eval_mixture_ring
+    mesh = make_mesh(shape=(1, 8))
+    means, con, values, samples = make(jax.random.PRNGKey(6), n=24, m=16)
+
+    def loss_ring(means, con, values):
+        out = eval_mixture_ring(mesh, means, con, values, samples, order=1)
+        return jnp.sum(out.u ** 2) + jnp.sum(out.ux ** 2)
+
+    def loss_dense(means, con, values):
+        out = eval_mixture_dense(means, con, values, samples, order=1)
+        return jnp.sum(out.u ** 2) + jnp.sum(out.ux ** 2)
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(means, con, values)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(means, con, values)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
+                                   atol=1e-12)

@@ -87,3 +87,61 @@ def test_wave_and_rbf_activations():
     y2 = rbf.apply(p2, x)
     np.testing.assert_allclose(np.asarray(y2),
                                np.exp(-np.asarray(x) ** 2), rtol=1e-6)
+
+
+def test_conic_form_matches_scipy_pdf_shape():
+    """Unnormalized exp(-0.5 x^T C x) is proportional to the scipy multivariate
+    normal pdf (the reference's test_conic_matrix.py check)."""
+    import scipy.stats as st
+    cov = np.array([[0.1, 0.03], [0.03, 0.2]])
+    con = np.linalg.inv(cov)
+    xs = np.asarray(grid_samples(11, 2))
+    ours = np.exp(-0.5 * np.einsum("md,de,me->m", xs, con, xs))
+    ref = st.multivariate_normal.pdf(xs, mean=[0, 0], cov=cov)
+    ref = ref / ref.max()
+    np.testing.assert_allclose(ours / ours.max(), ref, rtol=1e-10)
+
+
+def test_oracle_d3():
+    """The dense oracle is dimension-generic: d=3 values and first derivatives
+    match autodiff."""
+    from pigs_tpu.ops.oracle import eval_mixture_dense
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    n, d = 5, 3
+    means = jax.random.uniform(ks[0], (n, d), jnp.float64) * 2 - 1
+    scaling = jnp.exp(jax.random.normal(ks[1], (n, d), jnp.float64) * 0.2 - 1.5)
+    transforms = jax.random.normal(ks[2], (n, 3), jnp.float64) * 0.3
+    cov, con = gaussians.build_full_covariances(scaling, transforms)
+    values = jax.random.normal(ks[3], (n, 1), jnp.float64)
+    x0 = jnp.array([[0.1, -0.2, 0.3]], dtype=jnp.float64)
+    out = eval_mixture_dense(means, con, values, x0, order=2)
+
+    def u_at(x):
+        return eval_mixture_dense(means, con, values, x[None, :], order=0).u[0, 0]
+
+    jac = jax.jacfwd(u_at)(x0[0])
+    np.testing.assert_allclose(np.asarray(out.ux[0, :, 0]), np.asarray(jac),
+                               rtol=1e-9)
+    hess = jax.jacfwd(jax.jacfwd(u_at))(x0[0])
+    np.testing.assert_allclose(np.asarray(out.uxx[0, :, :, 0]),
+                               np.asarray(hess), rtol=1e-9)
+
+
+def test_profiling_timer():
+    from pigs_tpu.utils.profiling import Timer
+    t = Timer()
+    with t("op"):
+        pass
+    with t("op"):
+        pass
+    assert t.totals()["op"] >= 0
+    assert "op" in t.report()
+
+
+def test_launch_single_process_noop():
+    from pigs_tpu.parallel.launch import (host_summary, initialize_distributed,
+                                          is_multihost)
+    assert initialize_distributed() is False
+    assert is_multihost() is False
+    assert "process 0/1" in host_summary()

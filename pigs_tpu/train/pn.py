@@ -173,10 +173,20 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
     return params, opt_state, new_state, curr, losses, new_loss_weight
 
 
+_sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
+_randomize_jit = jax.jit(randomize_state, static_argnames=("cfg", "n"))
+
+
 def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
                 params, opt_state, key, epoch: int, current_timesteps: int,
                 ns_data: Optional[NSDataset] = None):
-    """One epoch: fresh randomized ICs, curriculum-bounded timestep loop."""
+    """One epoch: fresh randomized ICs, curriculum-bounded timestep loop.
+
+    Host/device efficiency: the IC randomization and field sampling are jitted
+    (one compile per distinct grid size n), and per-step losses stay on device
+    until the end of the epoch — a single synchronization instead of one per
+    timestep, letting XLA pipeline consecutive steps.
+    """
     k_rand, k_s, k_t, k_bc, k_n = jax.random.split(key, 5)
     samples = collocation_samples(k_s, tcfg.n_samples, cfg.d, cfg.scale,
                                   cfg.dtype)
@@ -198,8 +208,8 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
         n_max = int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1))))
         n = int(jax.random.randint(k_n, (), 15, 40))
         n = min(n, n_max)
-        state = randomize_state(cfg, k_rand, n)
-    prev_fields = sample_fields(cfg, state, samples, bc_samples)
+        state = _randomize_jit(cfg, k_rand, n)
+    prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
     prev_fields = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), prev_fields,
         is_leaf=lambda x: x is None)
@@ -207,8 +217,7 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     loss_weight = jnp.ones((), cfg.dtype)
     n_steps = min(min(epoch // tcfg.bootstrap_rate + 1, current_timesteps),
                   tcfg.train_timesteps)
-    totals = np.zeros(5)
-    all_sufficient = True
+    step_losses = []
     for i in range(n_steps):
         t = i * tcfg.dt
         recon = (ns_data.recon_target(data_index, i + 1, samples)
@@ -218,11 +227,13 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
             samples, time_samples, bc_samples, loss_weight,
             jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
             jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
-        step_losses = np.array([float(losses.pde), float(losses.bc),
-                                float(losses.conservation),
-                                float(losses.initial), float(losses.magnitude)])
-        totals += step_losses
-        all_sufficient &= step_losses[:4].sum() < 1.0
+        step_losses.append(jnp.stack([losses.pde, losses.bc,
+                                      losses.conservation, losses.initial,
+                                      losses.magnitude]))
+    # One host sync for the whole epoch.
+    per_step = np.asarray(jnp.stack(step_losses))          # (n_steps, 5)
+    totals = per_step.sum(axis=0)
+    all_sufficient = bool((per_step[:, :4].sum(axis=1) < 1.0).all())
 
     if all_sufficient:
         current_timesteps = min(epoch // tcfg.bootstrap_rate + 1,

@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from pigs_tpu.models.model import (Losses, ModelConfig, StepFields,
-                                   compute_loss, forward_step,
+                                   adaptive_split, compute_loss, forward_step,
                                    make_initial_state, make_network,
                                    randomize_state, sample_fields)
 from pigs_tpu.models.state import MixtureState, covariance_of
@@ -175,6 +175,7 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
 
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
 _randomize_jit = jax.jit(randomize_state, static_argnames=("cfg", "n"))
+_adaptive_split_jit = jax.jit(adaptive_split, static_argnames=("cfg",))
 
 
 def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
@@ -218,15 +219,22 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     n_steps = min(min(epoch // tcfg.bootstrap_rate + 1, current_timesteps),
                   tcfg.train_timesteps)
     step_losses = []
+    do_split = epoch > tcfg.split_epoch
     for i in range(n_steps):
         t = i * tcfg.dt
         recon = (ns_data.recon_target(data_index, i + 1, samples)
                  if data_index is not None else None)
+        state_before = state
         params, opt_state, state, prev_fields, losses, loss_weight = pn_step(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, loss_weight,
             jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
             jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
+        if do_split:
+            # Adaptive prune/split once past the split epoch (the reference's
+            # model.forward(..., split=epoch > split_epoch), main_pn.py:180).
+            state = _adaptive_split_jit(cfg, state, state_before)
+            prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
         step_losses.append(jnp.stack([losses.pde, losses.bc,
                                       losses.conservation, losses.initial,
                                       losses.magnitude]))

@@ -77,3 +77,17 @@ def test_nsdataset_recon_target_lookup():
     np.testing.assert_allclose(np.asarray(got),
                                [float(frames[1, 0, 0, 2]),
                                 float(frames[1, 3, 3, 2])])
+
+
+def test_split_epoch_wiring():
+    """Past split_epoch, epochs run the adaptive prune/split path
+    (main_pn.py:180) without shape or finiteness issues."""
+    import optax
+    from pigs_tpu.train.pn import init_training, train_epoch
+    cfg = small_cfg()
+    tcfg = TrainConfig(n_epochs=1, n_samples=64, split_epoch=0, seed=0)
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    params, opt_state, totals, cur, nst = train_epoch(
+        cfg, tcfg, network, opt, params, opt_state, jax.random.PRNGKey(3),
+        epoch=1, current_timesteps=2)
+    assert np.isfinite(totals).all()

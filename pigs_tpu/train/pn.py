@@ -296,34 +296,35 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
             res: int = 64, state: Optional[MixtureState] = None):
     """Inference rollout producing field frames + wall-clock timing
-    (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time)."""
+    (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time).
+
+    The whole rollout is one ``lax.scan`` over timesteps (render + evolve per
+    step), so per-step Python dispatch never gates the device.
+    """
     if state is None:
         state = make_initial_state(cfg)
     samples = image_samples(res, cfg.scale, cfg.dtype)
 
-    @jax.jit
-    def render(state):
-        _, conics = covariance_of(state)
-        out = eval_mixture(state.means, conics, state.u, samples, order=0,
-                           mask=state.interior, period=cfg.period)
-        return out.u.T.reshape(-1, res, res)
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(params, state, steps):
+        def body(state, _):
+            _, conics = covariance_of(state)
+            out = eval_mixture(state.means, conics, state.u, samples, order=0,
+                               mask=state.interior, period=cfg.period,
+                               diff_samples=False)
+            frame = out.u.T.reshape(-1, res, res)
+            new_state, _ = forward_step(cfg, network, params, state)
+            return new_state, frame
 
-    @jax.jit
-    def evolve(state):
-        new_state, _ = forward_step(cfg, network, params, state)
-        return new_state
+        _, frames = jax.lax.scan(body, state, None, length=steps)
+        return frames
 
-    frames = []
     # Warm-up compile outside the timed region.
-    render(state).block_until_ready()
-    evolve(state)
-    evo_time = 0.0
-    for i in range(n_steps):
-        frames.append(np.asarray(render(state)))
-        start = time.time()
-        state = jax.block_until_ready(evolve(state))
-        evo_time += time.time() - start
-    return np.stack(frames), evo_time
+    jax.block_until_ready(run(params, state, n_steps))
+    start = time.time()
+    frames = jax.block_until_ready(run(params, state, n_steps))
+    evo_time = time.time() - start
+    return np.asarray(frames), evo_time
 
 
 def rollout_metrics(frames: np.ndarray, ground_truth: np.ndarray):

@@ -19,6 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize imports jax at interpreter start (before this
+# file runs), so the env vars above may bind too late; the config route applies
+# as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except AttributeError:
+    pass  # older jax: the XLA_FLAGS path above covers it
+
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA-CPU compiles dominate test wall-clock on small

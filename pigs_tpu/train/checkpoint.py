@@ -21,12 +21,18 @@ def _manager(directory: str) -> ocp.CheckpointManager:
 
 def save_checkpoint(directory: str, step: int, params: Any, opt_state: Any,
                     training_loss) -> None:
+    """Save params + optimizer state + loss history (the reference's
+    torch.save dict {epoch, model, optimizer, training_loss},
+    main_pn.py:258-264)."""
     with _manager(directory) as mgr:
-        mgr.save(step, args=ocp.args.Composite(
+        args = dict(
             params=ocp.args.StandardSave(params),
             training_loss=ocp.args.ArraySave(np.asarray(training_loss,
                                                         dtype=np.float64)),
-        ))
+        )
+        if opt_state is not None:
+            args["opt_state"] = ocp.args.StandardSave(opt_state)
+        mgr.save(step, args=ocp.args.Composite(**args))
         mgr.wait_until_finished()
 
 
@@ -37,14 +43,28 @@ def latest_step(directory: str) -> Optional[int]:
         return mgr.latest_step()
 
 
-def restore_checkpoint(directory: str, params_template: Any):
-    """Restore the latest checkpoint; returns (step, params, training_loss)."""
+def restore_checkpoint(directory: str, params_template: Any,
+                       opt_state_template: Any = None):
+    """Restore the latest checkpoint.
+
+    Returns ``(step, params, training_loss)`` or, when an optimizer-state
+    template is given and the checkpoint carries one,
+    ``(step, params, opt_state, training_loss)`` (the reference restores the
+    optimizer too, main_pn.py:66-73)."""
     with _manager(directory) as mgr:
         step = mgr.latest_step()
         if step is None:
             return None
-        out = mgr.restore(step, args=ocp.args.Composite(
+        args = dict(
             params=ocp.args.StandardRestore(params_template),
             training_loss=ocp.args.ArrayRestore(),
-        ))
-        return step, out["params"], list(np.asarray(out["training_loss"]))
+        )
+        has_opt = (opt_state_template is not None and os.path.isdir(
+            os.path.join(os.path.abspath(directory), str(step), "opt_state")))
+        if has_opt:
+            args["opt_state"] = ocp.args.StandardRestore(opt_state_template)
+        out = mgr.restore(step, args=ocp.args.Composite(**args))
+        loss = list(np.asarray(out["training_loss"]))
+        if has_opt:
+            return step, out["params"], out["opt_state"], loss
+        return step, out["params"], loss

@@ -265,9 +265,12 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     start_epoch = 0
     if checkpoint_dir and resume:
         from pigs_tpu.train.checkpoint import restore_checkpoint
-        restored = restore_checkpoint(checkpoint_dir, params)
+        restored = restore_checkpoint(checkpoint_dir, params, opt_state)
         if restored is not None:
-            start_epoch, params, training_loss = restored
+            if len(restored) == 4:
+                start_epoch, params, opt_state, training_loss = restored
+            else:
+                start_epoch, params, training_loss = restored
             log_fn(f"Resumed from {checkpoint_dir} at epoch {start_epoch}")
     window = np.zeros(5)
     window_steps = 0

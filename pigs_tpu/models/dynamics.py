@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from pigs_tpu.ops.aggregate import aggregate_neighbors
+from pigs_tpu.ops.aggregate import aggregate_neighbors_factored
 
 __all__ = ["DynamicsNetwork", "Deltas", "WaveAct", "RBFAct", "LATENT_SIZE",
            "ATTENTION_HEADS", "EMBEDDING_SIZE"]
@@ -204,21 +204,13 @@ class DynamicsNetwork(nn.Module):
                           name=f"query_{h}")(features)
             keys = MLP([LATENT_SIZE, LATENT_SIZE, mid, L1_SIZE],
                        name=f"key_{h}")(features)
-            use_fused = (jax.default_backend() != "cpu" and d == 2
-                         and dtype == jnp.float32)
-            if use_fused:
-                from pigs_tpu.ops.pallas_aggregate import (
-                    aggregate_neighbors_pallas, radii_of)
-                radii = radii_of(full_cov, active)
-                agg = aggregate_neighbors_pallas(
-                    features, transform.astype(dtype), queries, keys,
-                    frequencies, distance_transform.astype(dtype), means,
-                    radii, period=period)
-            else:
-                agg = aggregate_neighbors(
-                    features, transform.astype(dtype), queries, keys,
-                    frequencies, distance_transform.astype(dtype),
-                    means=means, mask=nbr_mask, period=period)
+            # The factored (angle-addition) formulation is the fastest path on
+            # every backend — all-matmul, no per-pair transcendentals — and
+            # exactly matches the dense semantics (tests/test_aggregate.py).
+            agg = aggregate_neighbors_factored(
+                features, transform.astype(dtype), queries, keys,
+                frequencies, distance_transform.astype(dtype),
+                means=means, mask=nbr_mask, period=period)
             magnitudes.append(jnp.mean(agg ** 2))
             all_features.append(agg)
 

@@ -88,7 +88,12 @@ class ModelConfig(NamedTuple):
                capacity: Optional[int] = None,
                dtype=jnp.float32) -> "ModelConfig":
         if capacity is None:
-            capacity = 2 * nx * ny + 128
+            # Must cover the training-time domain-randomized ICs: the grid
+            # edge is sampled in [15, 40) (main_pn.py:153), i.e. up to 39^2
+            # interior Gaussians for d=2, plus <=100 boundary Gaussians and
+            # split margin.  1664 = 13*128 keeps the padded axis lane-aligned.
+            capacity = max(2 * nx * ny + 128,
+                           1664 if d == 2 else 2 * 40 + 128)
         return ModelConfig(problem=problem, rule=rule, nx=nx, ny=ny, d=d,
                            scale=scale, capacity=capacity,
                            weights=LossWeights.default(problem),

@@ -153,9 +153,15 @@ class RandomRowLoader:
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
         if self.native:
+            # Auto-release a still-held slot: without this, back-to-back
+            # next() calls would permanently leak ring slots and eventually
+            # deadlock the prefetcher.
+            self.release()
             slot = ctypes.c_int()
             ptr = self._lib.pigs_prefetch_next(self._p, self._idx_buf,
                                                ctypes.byref(slot))
+            if not ptr or slot.value < 0:
+                raise RuntimeError("prefetcher stopped")
             self._slot = slot.value
             nbytes = (self.rows_per_batch
                       * int(np.prod(self.row_shape, dtype=np.int64))

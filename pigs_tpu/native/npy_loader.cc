@@ -81,6 +81,13 @@ bool parse_header(NpyFile* f) {
 
   std::string fortran = find_value("fortran_order");
   f->fortran = fortran.rfind("True", 0) == 0;
+  if (f->fortran) {
+    // The raw payload of an F-ordered array would be silently transposed if
+    // exposed as C-order; report an error so the Python side falls back to
+    // np.load (which honors the flag).
+    f->error = "fortran_order not supported by the native reader";
+    return false;
+  }
 
   std::string shape_s = find_value("shape");
   size_t open = shape_s.find('(');
@@ -249,7 +256,13 @@ const void* pigs_prefetch_next(void* ph, long long* out_indices,
   int slot;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] { return !p->ready.empty(); });
+    // Wake on stop too — a destroyed/stopping prefetcher must not deadlock a
+    // consumer blocked here.
+    p->cv_ready.wait(lk, [&] { return p->stop.load() || !p->ready.empty(); });
+    if (p->ready.empty()) {
+      *out_slot = -1;
+      return nullptr;
+    }
     slot = p->ready.front();
     p->ready.pop();
   }
@@ -274,6 +287,7 @@ void pigs_prefetch_destroy(void* ph) {
   auto* p = static_cast<Prefetcher*>(ph);
   p->stop.store(true);
   p->cv_free.notify_all();
+  p->cv_ready.notify_all();
   for (auto& t : p->workers) t.join();
   delete p;
 }

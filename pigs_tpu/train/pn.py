@@ -170,7 +170,10 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
     curr = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), curr,
         is_leaf=lambda x: x is None)
-    return params, opt_state, new_state, curr, losses, new_loss_weight
+    # ``total`` includes the NS reconstruction loss — the curriculum
+    # sufficiency check must see it (the reference's current_loss,
+    # main_pn.py:212,228).
+    return params, opt_state, new_state, curr, losses, total, new_loss_weight
 
 
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
@@ -225,7 +228,8 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
         recon = (ns_data.recon_target(data_index, i + 1, samples)
                  if data_index is not None else None)
         state_before = state
-        params, opt_state, state, prev_fields, losses, loss_weight = pn_step(
+        (params, opt_state, state, prev_fields, losses, total,
+         loss_weight) = pn_step(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, loss_weight,
             jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
@@ -237,11 +241,13 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
             prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
         step_losses.append(jnp.stack([losses.pde, losses.bc,
                                       losses.conservation, losses.initial,
-                                      losses.magnitude]))
+                                      losses.magnitude, total]))
     # One host sync for the whole epoch.
-    per_step = np.asarray(jnp.stack(step_losses))          # (n_steps, 5)
-    totals = per_step.sum(axis=0)
-    all_sufficient = bool((per_step[:, :4].sum(axis=1) < 1.0).all())
+    per_step = np.asarray(jnp.stack(step_losses))          # (n_steps, 6)
+    totals = per_step[:, :5].sum(axis=0)
+    # Sufficiency on the full per-step total (incl. NS recon loss), the
+    # reference's all_sufficient criterion (main_pn.py:212,228).
+    all_sufficient = bool((per_step[:, 5] < 1.0).all())
 
     if all_sufficient:
         current_timesteps = min(epoch // tcfg.bootstrap_rate + 1,

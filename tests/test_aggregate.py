@@ -149,3 +149,86 @@ def test_can_learn_spatial_shift():
     for _ in range(400):
         params, state, loss = step(params, state)
     assert float(loss) < 0.25 * loss0, (loss0, float(loss))
+
+
+# ------------------------------------------------------------------ factored --
+
+
+def test_factored_matches_dense_values_and_grads():
+    """The angle-addition factorization is EXACT: values and all six input
+    gradients match the dense path to f64 machine precision, periodic or not,
+    d=1 and d=2."""
+    from pigs_tpu.ops.aggregate import aggregate_neighbors_factored
+
+    for d, E in ((1, 13), (2, 21)):
+        for period in (None, 2.0):
+            key = jax.random.PRNGKey(3)
+            ks = jax.random.split(key, 7)
+            n, L, K = 40, 3, 4
+            F = (E - 1) // d // 2
+            dtype = jnp.float64
+            means = jax.random.uniform(ks[6], (n, d), dtype) * 2 - 1
+            cov = (jnp.eye(d, dtype=dtype)[None] * 0.02
+                   + jnp.zeros((n, d, d), dtype))
+            mask = neighbor_mask(means, cov, period=period)
+            args = (jax.random.normal(ks[0], (n, L), dtype),
+                    jax.random.normal(ks[1], (L, L), dtype),
+                    jax.random.normal(ks[2], (n, K), dtype),
+                    jax.random.normal(ks[3], (n, K), dtype),
+                    jax.random.normal(ks[4], (F,), dtype) * 10,
+                    jax.random.normal(ks[5], (L, 2 * E), dtype))
+
+            a = aggregate_neighbors(*args, means=means, mask=mask,
+                                    period=period)
+            b = aggregate_neighbors_factored(*args, means=means, mask=mask,
+                                             period=period)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
+
+            def loss(fn):
+                return lambda *a_: jnp.sum(
+                    fn(*a_, means=means, mask=mask, period=period) ** 2)
+
+            g1 = jax.grad(loss(aggregate_neighbors),
+                          argnums=tuple(range(6)))(*args)
+            g2 = jax.grad(loss(aggregate_neighbors_factored),
+                          argnums=tuple(range(6)))(*args)
+            for x, y in zip(g1, g2):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=1e-9, atol=1e-10)
+
+
+def test_factored_means_gradient_matches_dense():
+    """Gradients w.r.t. the Gaussian centers flow through the trig tables in
+    the factored path and through the embedded displacements in the dense
+    path — both must agree."""
+    from pigs_tpu.ops.aggregate import aggregate_neighbors_factored
+
+    means, cov, mask, args = setup()
+
+    def loss(fn):
+        return lambda m: jnp.sum(fn(*args, means=m, mask=mask) ** 2)
+
+    g1 = jax.grad(loss(aggregate_neighbors))(means)
+    g2 = jax.grad(loss(aggregate_neighbors_factored))(means)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_factored_double_backward():
+    """grad-of-grad works through the factored path (plain XLA autodiff, no
+    custom_vjp) — the property the reference requests with create_graph=True
+    (test_derivatives.py:122-123)."""
+    from pigs_tpu.ops.aggregate import aggregate_neighbors_factored
+
+    means, cov, mask, args = setup()
+    feats = args[0]
+
+    def inner(f):
+        out = aggregate_neighbors_factored(f, *args[1:], means=means,
+                                           mask=mask)
+        return jnp.sum(out ** 2)
+
+    gg = jax.grad(lambda f: jnp.sum(jax.grad(inner)(f) ** 2))(feats)
+    assert np.isfinite(np.asarray(gg)).all()
+    check_grads(inner, (feats,), order=2, modes=["rev"], atol=1e-6, rtol=1e-6)

@@ -104,7 +104,7 @@ def test_dp_train_step_matches_single_device():
         params, opt_state, state, prev, samples, ts, bc,
         jnp.asarray(1e-3, jnp.float32), jnp.zeros((), jnp.float32), 1.0)
 
-    p_sd, _, state_sd, _, losses_sd, _ = pn_step(
+    p_sd, _, state_sd, _, losses_sd, _, _ = pn_step(
         cfg, network, opt, params, opt_state, state, prev, samples, ts, bc,
         jnp.ones((), jnp.float32), jnp.asarray(1e-3, jnp.float32), 1.0,
         jnp.zeros((), jnp.float32), 1.0)

@@ -91,3 +91,42 @@ def test_split_epoch_wiring():
         cfg, tcfg, network, opt, params, opt_state, jax.random.PRNGKey(3),
         epoch=1, current_timesteps=2)
     assert np.isfinite(totals).all()
+
+
+def test_checkpoint_roundtrip_with_opt_state(tmp_path):
+    """save/restore round-trip: params + optimizer state + loss history
+    survive exactly, with and without an opt_state template (the reference
+    restores the optimizer too, main_pn.py:66-73)."""
+    import optax
+    from pigs_tpu.train.checkpoint import (latest_step, restore_checkpoint,
+                                           save_checkpoint)
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3),
+              "nested": {"b": jnp.array([1.5, -2.0])}}
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    opt_state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, opt_state = opt.update(grads, opt_state)  # non-trivial moments
+    history = [3.0, 2.0, 1.0]
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 7, params, opt_state, history)
+    assert latest_step(d) == 7
+
+    # With an opt_state template: 4-tuple, everything matches.
+    like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+    step, p2, os2, h2 = restore_checkpoint(d, like(params), like(opt_state))
+    assert step == 7 and h2 == history
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(os2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Without a template: 3-tuple (legacy path).
+    step, p3, h3 = restore_checkpoint(d, like(params))
+    assert step == 7 and h3 == history
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

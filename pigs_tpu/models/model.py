@@ -194,29 +194,8 @@ def make_initial_state(cfg: ModelConfig, n: Optional[int] = None) -> MixtureStat
                       bm, bs, bt, bu)
 
 
-def randomize_state(cfg: ModelConfig, key: jax.Array, n: int) -> MixtureState:
-    """Domain-randomized initial conditions (model_pn.py:439-502).
-
-    For TEST: randomize the line's vertical position and value.  Otherwise:
-    rebuild an ``n x n`` grid and add noise to means/u/scaling/transforms.
-    """
-    ks = jax.random.split(key, 8)
-    if cfg.problem == Problem.TEST:
-        state = make_initial_state(cfg)
-        interior = state.interior
-        edge = jax.random.uniform(ks[0]) > 0.75
-        y_edge = ((0.9 + jax.random.uniform(ks[1]) * 0.1)
-                  * jnp.where(jax.random.uniform(ks[2]) > 0.5, 1.0, -1.0))
-        y_mid = (jax.random.uniform(ks[3]) * 2.0 - 1.0) * 0.9
-        y = jnp.where(edge, y_edge, y_mid).astype(cfg.dtype)
-        val = (jax.random.uniform(ks[4]) * 2.0 - 1.0).astype(cfg.dtype)
-        means = jnp.where(interior[:, None],
-                          state.means.at[:, 1].set(y), state.means)
-        u = jnp.where(interior[:, None],
-                      state.u.at[:, 0].set(val), state.u)
-        return state._replace(means=means, u=u)
-
-    state = make_initial_state(cfg, n=n)
+def _apply_ic_noise(cfg: ModelConfig, ks, state: MixtureState) -> MixtureState:
+    """The reference's IC noise (model_pn.py:472-502) on interior slots."""
     interior = state.interior
     gate = interior[:, None].astype(cfg.dtype)
     noise_m = jax.random.normal(ks[0], state.means.shape, cfg.dtype) * 0.2
@@ -235,6 +214,109 @@ def randomize_state(cfg: ModelConfig, key: jax.Array, n: int) -> MixtureState:
         state.transforms)
     return state._replace(means=means, u=u, scaling=scaling,
                           transforms=transforms)
+
+
+def _randomize_test(cfg: ModelConfig, ks) -> MixtureState:
+    """TEST randomization: move the 6-Gaussian line vertically, random value
+    (model_pn.py:440-452)."""
+    state = make_initial_state(cfg)
+    interior = state.interior
+    edge = jax.random.uniform(ks[0]) > 0.75
+    y_edge = ((0.9 + jax.random.uniform(ks[1]) * 0.1)
+              * jnp.where(jax.random.uniform(ks[2]) > 0.5, 1.0, -1.0))
+    y_mid = (jax.random.uniform(ks[3]) * 2.0 - 1.0) * 0.9
+    y = jnp.where(edge, y_edge, y_mid).astype(cfg.dtype)
+    val = (jax.random.uniform(ks[4]) * 2.0 - 1.0).astype(cfg.dtype)
+    means = jnp.where(interior[:, None],
+                      state.means.at[:, 1].set(y), state.means)
+    u = jnp.where(interior[:, None],
+                  state.u.at[:, 0].set(val), state.u)
+    return state._replace(means=means, u=u)
+
+
+def randomize_state(cfg: ModelConfig, key: jax.Array, n: int) -> MixtureState:
+    """Domain-randomized initial conditions (model_pn.py:439-502).
+
+    For TEST: randomize the line's vertical position and value.  Otherwise:
+    rebuild an ``n x n`` grid and add noise to means/u/scaling/transforms.
+    """
+    ks = jax.random.split(key, 8)
+    if cfg.problem == Problem.TEST:
+        return _randomize_test(cfg, ks)
+    state = make_initial_state(cfg, n=n)
+    return _apply_ic_noise(cfg, ks, state)
+
+
+def grid_state_dynamic(cfg: ModelConfig, n: jax.Array,
+                       n_max: int) -> MixtureState:
+    """Noise-free n x n grid IC with a *traced* grid edge ``n`` over an
+    ``n_max^2``-slot padded buffer.  The active rows equal
+    ``make_initial_state(cfg, n)``'s exactly; slots >= n^2 are inactive.
+    """
+    d, scale, c = cfg.d, cfg.scale, cfg.channels
+    dt = cfg.dtype
+    bm, bs, bt, bu = _boundary_gaussians(cfg)
+    nb = bm.shape[0]
+    if nb + n_max * n_max > cfg.capacity:
+        raise ValueError(
+            f"capacity {cfg.capacity} < boundary {nb} + n_max^2 "
+            f"{n_max * n_max}")
+
+    n = jnp.asarray(n, jnp.int32)
+    nf = n.astype(dt)
+    s = jnp.arange(n_max * n_max)
+    gi = jnp.minimum(s // n, n - 1)
+    gj = jnp.minimum(s % n, n - 1)
+    step = 2.0 / jnp.maximum(nf - 1.0, 1.0)
+    gx = (-1.0 + gi.astype(dt) * step) * scale
+    gy = (-1.0 + gj.astype(dt) * step) * scale
+    means = jnp.stack([gx, gy], axis=-1)                       # (n_max^2, d)
+    scaling = jnp.exp(jnp.full((n_max * n_max, d), -4.0, dt)) * (
+        scale / (nf / 20.0))
+    transforms = jnp.zeros((n_max * n_max, d * (d - 1) // 2), dt)
+
+    if cfg.problem in (Problem.BURGERS, Problem.DIFFUSION):
+        var = 0.1 * scale
+        power = -0.5 * jnp.sum(means * means, axis=-1) / var
+        u = jnp.tile((jnp.exp(power) / 3.0)[:, None], (1, c))
+    elif cfg.problem == Problem.WAVE:
+        center = (jnp.abs(gi - n // 2) <= 2) & (jnp.abs(gj - n // 2) <= 2)
+        u = jnp.where(center[:, None], jnp.asarray(0.2, dt),
+                      jnp.zeros((n_max * n_max, c), dt))
+    else:
+        u = jnp.zeros((n_max * n_max, c), dt)
+
+    cap = cfg.capacity
+    pad = cap - nb - n_max * n_max
+    interior_active = s < n * n
+    active = jnp.concatenate([
+        jnp.ones((nb,), bool), interior_active, jnp.zeros((pad,), bool)])
+    boundary = jnp.arange(cap) < nb
+
+    def assemble(b, x, fill=0.0):
+        padding = jnp.full((pad,) + x.shape[1:], fill, dt)
+        return jnp.concatenate([b, x, padding], axis=0)
+
+    return MixtureState(
+        means=assemble(bm, means),
+        scaling=jnp.where(active[:, None], assemble(bs, scaling, 1.0),
+                          jnp.ones((cap, d), dt)),
+        transforms=assemble(bt, transforms),
+        u=assemble(bu, u),
+        active=active,
+        boundary=boundary,
+    )
+
+
+def randomize_state_dynamic(cfg: ModelConfig, key: jax.Array, n: jax.Array,
+                            n_max: int) -> MixtureState:
+    """:func:`randomize_state` with a *traced* grid edge ``n`` — one XLA
+    compile covers the whole randomization range n in [15, 40) instead of one
+    compile per distinct n (the per-epoch recompiles dominated wall-clock)."""
+    ks = jax.random.split(key, 8)
+    if cfg.problem == Problem.TEST:
+        return _randomize_test(cfg, ks)
+    return _apply_ic_noise(cfg, ks, grid_state_dynamic(cfg, n, n_max))
 
 
 class StepFields(NamedTuple):

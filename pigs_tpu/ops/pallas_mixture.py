@@ -550,21 +550,83 @@ def _core_fwd(means, conics_full, values, samples, order, period,
     return out, (means, conics_full, values, samples)
 
 
-def _core_bwd(order, period, diff_samples, res, fields_bar):
-    means, conics_full, values, samples = res
+def _sym_full(gc_packed):
+    """Packed conic grads -> full symmetric: the off-diagonal splits evenly
+    (the kernel's 2*cxy*dx*dy corresponds to C01 + C10 in the full form)."""
+    return jnp.stack([
+        jnp.stack([gc_packed[:, 0], 0.5 * gc_packed[:, 1]], axis=-1),
+        jnp.stack([0.5 * gc_packed[:, 1], gc_packed[:, 2]], axis=-1),
+    ], axis=-2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _bwd_op(order, period, diff_samples, primals, fields_bar):
+    """The first-order backward as a differentiable op.
+
+    Forward value: the fused Pallas backward kernels.  Its OWN vjp (i.e.
+    second-order differentiation, the reference's create_graph=True,
+    test_derivatives.py:122-129) differentiates the dense oracle's vjp of the
+    same mapping instead — exact, plain XLA AD, used only when grad-of-grad
+    is actually requested."""
+    means, conics_full, values, samples = primals
     m, c = samples.shape[0], values.shape[1]
     cots = _pack_cotangents(fields_bar, m, c, order)
     gm, gc_packed, gv, gx = _pallas_backward(
         means, _pack_conics(conics_full), values, samples, cots, order,
         period, diff_samples)
-    # Packed conic grads -> full symmetric: the off-diagonal splits evenly
-    # (the kernel's 2*cxy*dx*dy corresponds to C01 + C10 in the full form).
-    gc_full = jnp.stack([
-        jnp.stack([gc_packed[:, 0], 0.5 * gc_packed[:, 1]], axis=-1),
-        jnp.stack([0.5 * gc_packed[:, 1], gc_packed[:, 2]], axis=-1),
-    ], axis=-2)
-    return (gm.astype(means.dtype), gc_full.astype(conics_full.dtype),
-            gv.astype(values.dtype), gx.astype(samples.dtype))
+    return (gm.astype(means.dtype), _sym_full(gc_packed).astype(
+        conics_full.dtype), gv.astype(values.dtype), gx.astype(samples.dtype))
+
+
+def _bwd_op_ref(order, period, diff_samples, primals, fields_bar):
+    """Dense-oracle implementation of the same (primals, cotangents) ->
+    gradients mapping, with the pallas path's conic symmetrization."""
+    from pigs_tpu.ops.oracle import eval_mixture_dense
+    means, conics_full, values, samples = primals
+
+    def f(m_, c_, v_, s_):
+        out = eval_mixture_dense(m_, c_, v_, s_, order=order, period=period)
+        return tuple(x for x in out[:order + 1])
+
+    _, vjp = jax.vjp(f, means, conics_full, values, samples)
+    bar = tuple(fields_bar[:order + 1])
+    gm, gc, gv, gx = vjp(bar)
+    gc = 0.5 * (gc + jnp.swapaxes(gc, -1, -2))
+    if not diff_samples:
+        gx = jnp.zeros_like(gx)
+    return gm, gc, gv, gx
+
+
+def _bwd_op_fwd(order, period, diff_samples, primals, fields_bar):
+    out = _bwd_op(order, period, diff_samples, primals, fields_bar)
+    return out, (primals, fields_bar)
+
+
+def _bwd_op_bwd(order, period, diff_samples, res, grad_out):
+    primals, fields_bar = res
+    _, vjp2 = jax.vjp(
+        lambda p, fb: _bwd_op_ref(order, period, diff_samples, p, fb),
+        primals, fields_bar)
+    return vjp2(grad_out)
+
+
+_bwd_op.defvjp(_bwd_op_fwd, _bwd_op_bwd)
+
+
+def _core_bwd(order, period, diff_samples, res, fields_bar):
+    means, conics_full, values, samples = res
+    m, c = samples.shape[0], values.shape[1]
+    # Fix the cotangent pytree structure (None -> zeros) so _bwd_op's
+    # signature is static.
+    widths_full = [(m, c), (m, 2, c), (m, 2, 2, c), (m, 2, 2, 2, c)]
+    bars = []
+    for k, b in enumerate(tuple(fields_bar)[:order + 1]):
+        bars.append(b if b is not None
+                    else jnp.zeros(widths_full[k], jnp.float32))
+    bars += [None] * (4 - len(bars))
+    return _bwd_op(order, period, diff_samples,
+                   (means, conics_full, values, samples),
+                   MixtureFields(*bars))
 
 
 _eval_core.defvjp(_core_fwd, _core_bwd)

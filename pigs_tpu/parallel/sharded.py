@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.ops.oracle import MixtureFields, eval_mixture_dense
 from pigs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -33,9 +34,14 @@ def eval_mixture_sharded(
     order: int = 0,
     mask: Optional[jax.Array] = None,
     period: Optional[float] = None,
+    impl: str = "auto",
 ) -> MixtureFields:
     """Mixture evaluation with samples sharded over ``data`` and Gaussians over
     ``model``.  Array sizes must divide the respective mesh axis sizes.
+
+    ``impl`` selects the per-device kernel exactly like
+    :func:`pigs_tpu.ops.mixture.eval_mixture` — "auto" runs the fused Pallas
+    kernels on each device's local shard inside ``shard_map`` on TPU.
 
     Returns fields sharded over the ``data`` axis (replicated over ``model``).
     """
@@ -45,16 +51,21 @@ def eval_mixture_sharded(
     n_orders = order + 1
 
     def local(means, conics, values, mask, samples):
-        out = eval_mixture_dense(means, conics, values, samples, order=order,
-                                 mask=mask, period=period)
+        out = eval_mixture(means, conics, values, samples, order=order,
+                           mask=mask, period=period, impl=impl,
+                           diff_samples=False)
         partial_fields = tuple(f for f in out[:n_orders])
         return tuple(jax.lax.psum(f, MODEL_AXIS) for f in partial_fields)
 
     gauss_spec = P(MODEL_AXIS)
+    # check_vma=False: pallas_call cannot declare varying-mesh-axes metadata
+    # yet, and the psum above already makes the outputs replicated over
+    # MODEL_AXIS by construction.
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(gauss_spec, gauss_spec, gauss_spec, gauss_spec, P(DATA_AXIS)),
         out_specs=tuple(P(DATA_AXIS) for _ in range(n_orders)),
+        check_vma=False,
     )
     fields = fn(means, conics, values, mask, samples)
     return MixtureFields(*(list(fields) + [None] * (4 - n_orders)))
@@ -69,6 +80,7 @@ def eval_mixture_ring(
     order: int = 0,
     mask: Optional[jax.Array] = None,
     period: Optional[float] = None,
+    impl: str = "auto",
 ) -> MixtureFields:
     """Ring-accumulation mixture evaluation for Gaussian counts too large to
     replicate: Gaussians stay sharded over the ``model`` axis; each device
@@ -95,15 +107,17 @@ def eval_mixture_ring(
 
         def body(carry, _):
             (means, conics, values, mask), acc = carry
-            out = eval_mixture_dense(means, conics, values, samples,
-                                     order=order, mask=mask, period=period)
+            out = eval_mixture(means, conics, values, samples, order=order,
+                               mask=mask, period=period, impl=impl,
+                               diff_samples=False)
             acc = tuple(a + f for a, f in zip(acc, out[:n_orders]))
             shard = jax.tree_util.tree_map(rotate,
                                            (means, conics, values, mask))
             return (shard, acc), None
 
-        out0 = eval_mixture_dense(means, conics, values, samples, order=order,
-                                  mask=mask, period=period)
+        out0 = eval_mixture(means, conics, values, samples, order=order,
+                            mask=mask, period=period, impl=impl,
+                            diff_samples=False)
         zeros = tuple(jnp.zeros_like(f) for f in out0[:n_orders])
         (_, acc), _ = jax.lax.scan(
             body, ((means, conics, values, mask), zeros), None,

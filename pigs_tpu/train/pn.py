@@ -32,7 +32,8 @@ import optax
 from pigs_tpu.models.model import (Losses, ModelConfig, StepFields,
                                    adaptive_split, compute_loss, forward_step,
                                    make_initial_state, make_network,
-                                   randomize_state, sample_fields)
+                                   randomize_state, randomize_state_dynamic,
+                                   sample_fields)
 from pigs_tpu.models.state import MixtureState, covariance_of
 from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.pde import Problem
@@ -40,7 +41,8 @@ from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
                                      image_samples)
 
 __all__ = ["TrainConfig", "NSDataset", "init_training", "pn_step",
-           "train_epoch", "train", "rollout", "rollout_metrics"]
+           "pn_epoch_scan", "train_epoch", "train", "rollout",
+           "rollout_metrics"]
 
 
 class NSDataset(NamedTuple):
@@ -76,7 +78,8 @@ class NSDataset(NamedTuple):
                      samples: jax.Array) -> jax.Array:
         """Vorticity frame looked up at the collocation points
         (main_pn.py:202-212 coordinate convention)."""
-        frame = self.frames[index, :, :, timestep]
+        frame = self.frames[index, :, :,
+                            min(timestep, self.frames.shape[-1] - 1)]
         res = frame.shape[0]
         coords = jnp.clip(((samples + 1.0) / 2.0 * res).astype(jnp.int32),
                           0, res - 1)
@@ -131,12 +134,11 @@ def _filter_finite(losses: Losses) -> Losses:
     return Losses(*(f(l) for l in losses))
 
 
-@partial(jax.jit, static_argnames=("cfg", "network", "opt"))
-def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
-            state: MixtureState, prev_fields: StepFields,
-            samples, time_samples, bc_samples,
-            loss_weight, base_lr, epsilon, t, dt,
-            recon_target=None, recon_weight=5.0):
+def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
+                  state: MixtureState, prev_fields: StepFields,
+                  samples, time_samples, bc_samples,
+                  loss_weight, base_lr, epsilon, t, dt,
+                  recon_target=None, recon_weight=5.0):
     """One dynamics timestep + one optimizer update (main_pn.py:171-232).
 
     ``recon_target`` (m,) adds the NS vorticity-reconstruction loss
@@ -176,8 +178,84 @@ def pn_step(cfg: ModelConfig, network, opt, params, opt_state,
     return params, opt_state, new_state, curr, losses, total, new_loss_weight
 
 
+pn_step = partial(jax.jit, static_argnames=("cfg", "network", "opt"))(
+    _pn_step_core)
+
+
+@partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_steps",
+                                   "recon_weight"))
+def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
+                  state: MixtureState, prev_fields: StepFields,
+                  samples, time_samples, bc_samples, base_lr, epsilon, dt,
+                  n_steps: int, recon_targets=None, recon_weight: float = 5.0,
+                  active_steps=None):
+    """All timesteps of one epoch as a single ``lax.scan`` — one dispatch per
+    epoch instead of one per timestep (VERDICT r1 item 7; the reference's
+    inner loop, main_pn.py:171-232).
+
+    Valid whenever adaptive splitting is off for the epoch (the reference
+    schedule has split_epoch=10000 > N=5000, so this is the reference path).
+    ``recon_targets``: optional (n_steps, m) NS vorticity frames.
+
+    ``active_steps`` (traced int, <= n_steps) gates the curriculum INSIDE the
+    scan: steps >= active_steps run but their updates are discarded and their
+    loss rows are zero, so one compile (n_steps = train_timesteps) serves
+    every curriculum length.
+
+    Returns (params, opt_state, state, prev_fields,
+    per_step (n_steps, 6): [pde, bc, conservation, initial, magnitude, total]).
+    """
+
+    def body(carry, xs):
+        params, opt_state, state, prev_fields, loss_weight = carry
+        i, recon = xs
+        new = _pn_step_core(
+            cfg, network, opt, params, opt_state, state, prev_fields,
+            samples, time_samples, bc_samples, loss_weight, base_lr,
+            epsilon, i.astype(cfg.dtype) * dt, dt,
+            recon_target=recon, recon_weight=recon_weight)
+        (n_params, n_opt_state, n_state, n_prev, losses, total,
+         n_loss_weight) = new
+        step_out = jnp.stack([losses.pde, losses.bc, losses.conservation,
+                              losses.initial, losses.magnitude, total])
+        if active_steps is not None:
+            act = i < active_steps
+
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(act, x, y), a, b)
+
+            n_params = sel(n_params, params)
+            n_opt_state = sel(n_opt_state, opt_state)
+            n_state = sel(n_state, state)
+            n_prev = sel(n_prev, prev_fields)
+            n_loss_weight = jnp.where(act, n_loss_weight, loss_weight)
+            step_out = jnp.where(act, step_out, jnp.zeros_like(step_out))
+        return ((n_params, n_opt_state, n_state, n_prev, n_loss_weight),
+                step_out)
+
+    if recon_targets is None:
+        xs = (jnp.arange(n_steps), jnp.zeros((n_steps,), cfg.dtype))
+
+        def body_norec(carry, xs):
+            return body(carry, (xs[0], None))
+
+        scan_body = body_norec
+    else:
+        xs = (jnp.arange(n_steps), recon_targets)
+        scan_body = body
+
+    carry = (params, opt_state, state, prev_fields,
+             jnp.ones((), cfg.dtype))
+    (params, opt_state, state, prev_fields, _), per_step = jax.lax.scan(
+        scan_body, carry, xs, length=n_steps)
+    return params, opt_state, state, prev_fields, per_step
+
+
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
 _randomize_jit = jax.jit(randomize_state, static_argnames=("cfg", "n"))
+_randomize_dyn_jit = jax.jit(randomize_state_dynamic,
+                             static_argnames=("cfg", "n_max"))
 _adaptive_split_jit = jax.jit(adaptive_split, static_argnames=("cfg",))
 
 
@@ -207,12 +285,13 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     else:
         # Domain-randomized grid edge n in [15, 40) (main_pn.py:153), clamped
         # so n^2 interior + boundary Gaussians fit the padded capacity.
+        # n stays a traced value — one compile covers the whole range.
         n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
             50 if cfg.problem == Problem.TEST else 100)
-        n_max = int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1))))
-        n = int(jax.random.randint(k_n, (), 15, 40))
-        n = min(n, n_max)
-        state = _randomize_jit(cfg, k_rand, n)
+        n_max = min(39, int(np.floor(np.sqrt(max(cfg.capacity - n_boundary,
+                                                 1)))))
+        n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
+        state = _randomize_dyn_jit(cfg, k_rand, n, n_max=n_max)
     prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
     prev_fields = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), prev_fields,
@@ -221,29 +300,46 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     loss_weight = jnp.ones((), cfg.dtype)
     n_steps = min(min(epoch // tcfg.bootstrap_rate + 1, current_timesteps),
                   tcfg.train_timesteps)
-    step_losses = []
     do_split = epoch > tcfg.split_epoch
-    for i in range(n_steps):
-        t = i * tcfg.dt
-        recon = (ns_data.recon_target(data_index, i + 1, samples)
-                 if data_index is not None else None)
-        state_before = state
-        (params, opt_state, state, prev_fields, losses, total,
-         loss_weight) = pn_step(
+    if not do_split:
+        # Whole epoch as one fixed-length lax.scan dispatch with the
+        # curriculum gated inside — ONE compile serves every epoch (the
+        # reference schedule never splits: split_epoch=10000 > N=5000).
+        scan_len = tcfg.train_timesteps
+        recon_targets = None
+        if data_index is not None:
+            recon_targets = jnp.stack([
+                ns_data.recon_target(data_index, i + 1, samples)
+                for i in range(scan_len)])
+        params, opt_state, state, prev_fields, per_step = pn_epoch_scan(
             cfg, network, opt, params, opt_state, state, prev_fields,
-            samples, time_samples, bc_samples, loss_weight,
-            jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
-            jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
-        if do_split:
+            samples, time_samples, bc_samples,
+            jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon, tcfg.dt,
+            scan_len, recon_targets=recon_targets,
+            active_steps=jnp.asarray(n_steps, jnp.int32))
+        per_step = np.asarray(per_step)[:n_steps]
+    else:
+        step_losses = []
+        for i in range(n_steps):
+            t = i * tcfg.dt
+            recon = (ns_data.recon_target(data_index, i + 1, samples)
+                     if data_index is not None else None)
+            state_before = state
+            (params, opt_state, state, prev_fields, losses, total,
+             loss_weight) = pn_step(
+                cfg, network, opt, params, opt_state, state, prev_fields,
+                samples, time_samples, bc_samples, loss_weight,
+                jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
+                jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
             # Adaptive prune/split once past the split epoch (the reference's
             # model.forward(..., split=epoch > split_epoch), main_pn.py:180).
             state = _adaptive_split_jit(cfg, state, state_before)
             prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
-        step_losses.append(jnp.stack([losses.pde, losses.bc,
-                                      losses.conservation, losses.initial,
-                                      losses.magnitude, total]))
-    # One host sync for the whole epoch.
-    per_step = np.asarray(jnp.stack(step_losses))          # (n_steps, 6)
+            step_losses.append(jnp.stack([losses.pde, losses.bc,
+                                          losses.conservation, losses.initial,
+                                          losses.magnitude, total]))
+        # One host sync for the whole epoch.
+        per_step = np.asarray(jnp.stack(step_losses))      # (n_steps, 6)
     totals = per_step[:, :5].sum(axis=0)
     # Sufficiency on the full per-step total (incl. NS recon loss), the
     # reference's all_sufficient criterion (main_pn.py:212,228).
@@ -280,11 +376,15 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             log_fn(f"Resumed from {checkpoint_dir} at epoch {start_epoch}")
     window = np.zeros(5)
     window_steps = 0
+    epoch_t0 = time.time()
     for epoch in range(start_epoch, tcfg.n_epochs):
         key, sub = jax.random.split(key)
         params, opt_state, totals, current_timesteps, n_steps = train_epoch(
             cfg, tcfg, network, opt, params, opt_state, sub, epoch,
             current_timesteps, ns_data=ns_data)
+        if epoch - start_epoch < 3:
+            log_fn(f"[timing] epoch {epoch}: {time.time() - epoch_t0:.1f} s")
+            epoch_t0 = time.time()
         window += totals
         window_steps += n_steps
         if (epoch + 1) % tcfg.log_step == 0:

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Train the PN dynamics network on the full reference schedule and validate
+the 50-step rollout against independent ground truth.
+
+This is the reference's headline flow (main_pn.py:101-277 training,
+279-484 rollout eval + Norm print) completed end-to-end:
+
+  * burgers / diffusion: the rollout's rendered frames are compared per-step
+    against the in-tree RK4 finite-difference solution started from the SAME
+    rendered initial field (utils/fd.solve_fd_2d) — the role of
+    ``burgers_double_gt.npy``.
+  * test: the synthetic TEST dynamics have an analytic law — interior
+    Gaussians move vertically at dy/dt = u/5 (model_pn.py:851) with u pushed
+    to -sign(y) near the rim — so the rollout is scored by how well the
+    learned per-step motion matches u/5.
+
+Examples:
+  python scripts/validate_pn.py --problem burgers --epochs 5000 --out results_burgers
+  python scripts/validate_pn.py --problem test --epochs 5000 --out results_test --resume
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--problem", default="burgers",
+                   choices=["burgers", "diffusion", "test"])
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--nx", type=int, default=20)
+    p.add_argument("--capacity", type=int, default=None)
+    p.add_argument("--n-samples", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--rollout-steps", type=int, default=50)
+    p.add_argument("--res", type=int, default=64)
+    p.add_argument("--out", default="results_validate_pn")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigs_tpu.models.model import ModelConfig, make_initial_state
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import (TrainConfig, rollout, rollout_metrics,
+                                   train)
+    from pigs_tpu.utils.fd import solve_fd_2d
+
+    problem = Problem[args.problem.upper()]
+    cfg = ModelConfig.create(problem, IntegrationRule.TRAPEZOID,
+                             nx=args.nx, ny=args.nx, d=2, scale=1.0,
+                             capacity=args.capacity)
+    tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
+                       lr=args.lr, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    log_path = os.path.join(args.out, "train.log")
+
+    def log_fn(msg):
+        print(msg, flush=True)
+        with open(log_path, "a") as f:
+            f.write(str(msg) + "\n")
+
+    t0 = time.time()
+    network, params, opt_state, losses = train(
+        cfg, tcfg, checkpoint_dir=os.path.join(args.out, "checkpoints"),
+        resume=args.resume, log_fn=log_fn)
+    train_s = time.time() - t0
+    log_fn(f"training wall-clock: {train_s:.1f} s "
+           f"({args.epochs} epochs, capacity {cfg.capacity})")
+
+    # ---------------------------------------------------------------- rollout
+    frames, evo_time = rollout(cfg, network, params,
+                               n_steps=args.rollout_steps, res=args.res)
+    log_fn(f"rollout: {args.rollout_steps} steps in {evo_time*1e3:.1f} ms")
+    np.save(os.path.join(args.out, "rollout_frames.npy"), frames)
+
+    summary = {"problem": args.problem, "epochs": args.epochs,
+               "capacity": cfg.capacity, "train_s": train_s,
+               "evo_time_s": evo_time,
+               "final_loss": losses[-1] if losses else None}
+
+    if problem in (Problem.BURGERS, Problem.DIFFUSION):
+        # frames: (steps, c, res, res), image layout (row = flipped y,
+        # col = x).  FD layout: axis 0 = x, y ascending.
+        f0 = frames[0, 0]
+        u0_fd = jnp.asarray(np.flipud(f0).T)
+        gt = np.asarray(solve_fd_2d(u0_fd, cfg.scale, tcfg.dt,
+                                    args.rollout_steps,
+                                    problem=args.problem, nu=cfg.coeff.nu))
+        gt_frames = np.stack([np.flipud(g.T) for g in gt])  # image layout
+        np.save(os.path.join(args.out, "fd_gt_frames.npy"), gt_frames)
+        m = rollout_metrics(frames[:, 0], gt_frames)
+        summary.update(m)
+        log_fn("per-step rel-L2 vs FD: "
+               + " ".join(f"{v:.3f}" for v in m["per_step_rel_norm"]))
+        log_fn(f"mean rel-L2 vs FD: {m['mean_rel_norm']:.4f}")
+    else:  # TEST: analytic motion law dy = u/5 per step.
+        from functools import partial
+        from pigs_tpu.models.model import forward_step
+        from pigs_tpu.models.state import MixtureState
+
+        state = make_initial_state(cfg)
+        step = jax.jit(partial(forward_step, cfg, network))
+        dy_err, du_drift, ys, us = [], [], [], []
+        for i in range(args.rollout_steps):
+            new_state, deltas = step(params, state)
+            mask = np.asarray(state.interior)
+            dy = np.asarray(deltas.dmeans)[mask, 1]
+            u = np.asarray(state.u)[mask, 0]
+            dy_err.append(float(np.mean(np.abs(dy - u / 5.0))))
+            du_drift.append(float(np.mean(np.abs(
+                np.asarray(deltas.du)[mask, 0]))))
+            ys.append(float(np.mean(np.asarray(state.means)[mask, 1])))
+            us.append(float(np.mean(u)))
+            state = new_state
+        summary.update({
+            "mean_abs_dy_minus_u_over_5": float(np.mean(dy_err)),
+            "per_step_dy_err": dy_err,
+            "mean_y_trajectory": ys,
+            "mean_u_trajectory": us,
+        })
+        log_fn(f"TEST law |dy - u/5| per step: mean "
+               f"{np.mean(dy_err):.5f}, max {np.max(dy_err):.5f}")
+        log_fn("mean y trajectory: "
+               + " ".join(f"{v:.3f}" for v in ys[::5]))
+
+    if losses:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        plt.plot(losses)
+        plt.yscale("log")
+        plt.xlabel(f"epoch / {tcfg.log_step}")
+        plt.ylabel("total loss")
+        fig.savefig(os.path.join(args.out, "training_loss.png"))
+        plt.close(fig)
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    log_fn(json.dumps({k: v for k, v in summary.items()
+                       if not isinstance(v, list)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,24 @@ def test_navier_stokes_step():
     # Means stay in the fundamental domain (periodic wrap).
     i = np.asarray(new_state.interior)
     assert (np.abs(np.asarray(new_state.means)[i]) <= 1.0 + 1e-6).all()
+
+
+def test_grid_state_dynamic_matches_static():
+    """grid_state_dynamic (traced n) must reproduce make_initial_state's
+    active rows exactly for every n in the randomization range."""
+    from pigs_tpu.models.model import grid_state_dynamic, make_initial_state
+
+    for problem in (Problem.BURGERS, Problem.WAVE):
+        cfg = ModelConfig.create(problem, IntegrationRule.TRAPEZOID,
+                                 nx=6, ny=6, d=2, scale=1.0, capacity=300)
+        for n in (5, 9, 13):
+            dyn = grid_state_dynamic(cfg, jnp.asarray(n), n_max=13)
+            stat = make_initial_state(cfg, n=n)
+            assert int(dyn.active.sum()) == int(stat.active.sum())
+            # Active rows agree field-by-field (same ordering: boundary
+            # first, then the row-major grid).
+            for f in ("means", "scaling", "transforms", "u"):
+                a = np.asarray(getattr(dyn, f))[np.asarray(dyn.active)]
+                b = np.asarray(getattr(stat, f))[np.asarray(stat.active)]
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
+                                           err_msg=f"{problem} n={n} {f}")

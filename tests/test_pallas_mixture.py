@@ -184,3 +184,39 @@ def test_diff_samples_false_keeps_param_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     assert float(jnp.abs(g_on[3]).max()) > 0
     np.testing.assert_allclose(np.asarray(g_off[3]), 0.0)
+
+
+def test_grad_of_grad_matches_dense():
+    """Second-order differentiation through the Pallas path works (the
+    reference's create_graph=True request, test_derivatives.py:122-129): the
+    backward op's own vjp falls back to differentiating the dense oracle's
+    vjp.  The pallas path's first-order conic grad is the symmetrized one, so
+    the dense outer loss symmetrizes too (see _sym_conic_grad)."""
+    means, con, values, samples = make(jax.random.PRNGKey(8), n=20, m=30)
+
+    def make_loss(fn, symmetrize):
+        def inner(means, con, values):
+            out = fn(means, con, values, samples, order=2)
+            return jnp.sum(out.u ** 2) + jnp.sum(out.uxx ** 2)
+
+        def outer(means, con, values):
+            gm, gc, gv = jax.grad(inner, argnums=(0, 1, 2))(means, con,
+                                                            values)
+            if symmetrize:
+                gc = 0.5 * (gc + jnp.swapaxes(gc, -1, -2))
+            return jnp.sum(gm ** 2) + jnp.sum(gc ** 2) + jnp.sum(gv ** 2)
+
+        return outer
+
+    with pltpu.force_tpu_interpret_mode():
+        gg_pallas = jax.grad(make_loss(eval_mixture_pallas, False),
+                             argnums=(0, 1, 2))(means, con, values)
+    gg_dense = jax.grad(make_loss(eval_mixture_dense, True),
+                        argnums=(0, 1, 2))(means, con, values)
+    for k, (a, b) in enumerate(zip(gg_pallas, gg_dense)):
+        a, b = np.asarray(a), np.asarray(b)
+        if k == 1:
+            a = _sym_conic_grad(a)
+            b = _sym_conic_grad(b)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)

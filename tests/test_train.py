@@ -130,3 +130,86 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_epoch_matches_loop():
+    """pn_epoch_scan produces the same per-step losses and parameters as the
+    equivalent python loop of pn_step calls (VERDICT r1 item 7)."""
+    from pigs_tpu.models.model import randomize_state, sample_fields
+    from pigs_tpu.train.pn import init_training, pn_epoch_scan, pn_step
+    from pigs_tpu.utils.sampling import (boundary_band_samples,
+                                         collocation_samples)
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=160)
+    tcfg = TrainConfig(n_samples=64, seed=0)
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    key = jax.random.PRNGKey(1)
+    state0 = randomize_state(cfg, key, 6)
+    samples = collocation_samples(key, 64, 2, 1.0, cfg.dtype)
+    time_samples = jax.random.uniform(key, (64,), cfg.dtype)
+    bc = boundary_band_samples(key, 64, 1.0, cfg.dtype)
+    prev0 = sample_fields(cfg, state0, samples, bc)
+    n_steps = 3
+    lr = jnp.asarray(tcfg.lr, cfg.dtype)
+
+    # Loop version.
+    p_l, os_l, st, pv = params, opt_state, state0, prev0
+    lw = jnp.ones((), cfg.dtype)
+    loop_steps = []
+    for i in range(n_steps):
+        p_l, os_l, st, pv, losses, total, lw = pn_step(
+            cfg, network, opt, p_l, os_l, st, pv, samples, time_samples, bc,
+            lw, lr, tcfg.epsilon, jnp.asarray(i * tcfg.dt, cfg.dtype),
+            tcfg.dt)
+        loop_steps.append(np.asarray(jnp.stack(
+            [losses.pde, losses.bc, losses.conservation, losses.initial,
+             losses.magnitude, total])))
+
+    # Scan version.
+    p_s, os_s, _, _, per_step = pn_epoch_scan(
+        cfg, network, opt, params, opt_state, state0, prev0, samples,
+        time_samples, bc, lr, tcfg.epsilon, tcfg.dt, n_steps)
+
+    np.testing.assert_allclose(np.asarray(per_step), np.stack(loop_steps),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_l),
+                    jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_fno_convert_to_nsdataset_and_train(tmp_path):
+    """The full NS data pipeline (VERDICT r1 item 4): FNO-format .npy ->
+    curl-fit converter -> NSDataset .npz -> one training epoch with the
+    reconstruction loss (the reference's main_pn.py:36-49 chain)."""
+    from pigs_tpu.train.ns_data import convert_fno, load_fno
+
+    # Synthetic FNO file: raw layout (T, res, res, N).
+    T, res, N = 3, 16, 2
+    rng = np.random.default_rng(0)
+    xs = np.linspace(-1, 1, res)
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    base = np.sin(np.pi * gx) * np.cos(np.pi * gy)
+    raw = np.stack([[base * (1 + 0.1 * t + 0.2 * k) for t in range(T)]
+                    for k in range(N)])                    # (N, T, res, res)
+    raw = np.transpose(raw, (1, 2, 3, 0)).astype(np.float32)
+    fno_path = str(tmp_path / "fno.npy")
+    np.save(fno_path, raw)
+
+    assert load_fno(fno_path).shape == (N, res, res, T)
+
+    out = str(tmp_path / "ns_data.npz")
+    logs = []
+    convert_fno(fno_path, out, count=2, nx=5, iters=200, log_fn=logs.append)
+    data = NSDataset.load(out)
+    assert data.means.shape == (2, 25, 2)
+    assert data.frames.shape == (2, res, res, T)
+    assert np.isfinite(np.asarray(data.u)).all()
+
+    cfg = ModelConfig.create(Problem.NAVIER_STOKES, IntegrationRule.TRAPEZOID,
+                             nx=5, ny=5, d=2, scale=1.0, capacity=64)
+    tcfg = TrainConfig(n_epochs=1, n_samples=64, log_step=1, seed=0)
+    network, params, _, losses = train(cfg, tcfg, ns_data=data,
+                                       log_fn=logs.append)
+    assert np.isfinite(losses).all()

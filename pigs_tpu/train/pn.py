@@ -99,6 +99,24 @@ class TrainConfig(NamedTuple):
     log_step: int = 10
     save_step: int = 100
     seed: int = 1
+    # --- training-quality knobs beyond the reference (defaults = reference
+    # semantics exactly). ---
+    loss_weight_floor: float = 0.0
+    """Floor on the per-step loss weight.  The reference's
+    ``loss_weight *= exp(-epsilon * loss)`` (main_pn.py:225) collapses the
+    effective lr to ~0 within a few timesteps whenever per-step losses sit
+    near 1, so late curriculum steps never train; a small floor (e.g. 0.05)
+    keeps them learning."""
+    lr_min: Optional[float] = None
+    """If set, cosine-decay the base learning rate from ``lr`` to ``lr_min``
+    over ``n_epochs`` (polish phase; the reference keeps lr constant)."""
+
+    def base_lr_at(self, epoch: int) -> float:
+        if self.lr_min is None:
+            return self.lr
+        frac = min(max(epoch / max(self.n_epochs - 1, 1), 0.0), 1.0)
+        return float(self.lr_min + 0.5 * (self.lr - self.lr_min)
+                     * (1.0 + np.cos(np.pi * frac)))
 
 
 def init_training(cfg: ModelConfig, tcfg: TrainConfig):
@@ -138,18 +156,26 @@ def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
                   state: MixtureState, prev_fields: StepFields,
                   samples, time_samples, bc_samples,
                   loss_weight, base_lr, epsilon, t, dt,
-                  recon_target=None, recon_weight=5.0):
+                  recon_target=None, recon_weight=5.0,
+                  initial_fields=None, initial_gate=None,
+                  loss_weight_floor=0.0):
     """One dynamics timestep + one optimizer update (main_pn.py:171-232).
 
     ``recon_target`` (m,) adds the NS vorticity-reconstruction loss
-    (main_pn.py:202-212) with weight ``recon_weight``.
+    (main_pn.py:202-212) with weight ``recon_weight``.  ``initial_fields``
+    (m, c) adds the t=0 IC loss (model_pn.py:884-890), scaled by
+    ``initial_gate`` (1.0 at t=0, else 0.0 — the reference's ``t == 0``
+    condition, made traceable for use under ``lax.scan``).
     """
 
     def loss_fn(p):
         new_state, deltas = forward_step(cfg, network, p, state, t=t)
         curr = sample_fields(cfg, new_state, samples, bc_samples)
         losses = compute_loss(cfg, new_state, deltas, prev_fields, curr,
-                              samples, time_samples, t, dt)
+                              samples, time_samples, t, dt,
+                              initial_fields=initial_fields)
+        if initial_fields is not None and initial_gate is not None:
+            losses = losses._replace(initial=losses.initial * initial_gate)
         losses = _filter_finite(losses)
         total = losses.total
         if recon_target is not None:
@@ -165,7 +191,8 @@ def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
     updates, opt_state = opt.update(grads, opt_state)
     params = optax.apply_updates(params, updates)
 
-    new_loss_weight = loss_weight * jnp.exp(-epsilon * total)
+    new_loss_weight = jnp.maximum(loss_weight * jnp.exp(-epsilon * total),
+                                  loss_weight_floor)
 
     # Truncated BPTT: cut the graph between timesteps (model.detach()).
     new_state = jax.tree_util.tree_map(jax.lax.stop_gradient, new_state)
@@ -188,7 +215,8 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
                   state: MixtureState, prev_fields: StepFields,
                   samples, time_samples, bc_samples, base_lr, epsilon, dt,
                   n_steps: int, recon_targets=None, recon_weight: float = 5.0,
-                  active_steps=None):
+                  active_steps=None, initial_fields=None,
+                  loss_weight_floor=0.0):
     """All timesteps of one epoch as a single ``lax.scan`` — one dispatch per
     epoch instead of one per timestep (VERDICT r1 item 7; the reference's
     inner loop, main_pn.py:171-232).
@@ -213,7 +241,10 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, loss_weight, base_lr,
             epsilon, i.astype(cfg.dtype) * dt, dt,
-            recon_target=recon, recon_weight=recon_weight)
+            recon_target=recon, recon_weight=recon_weight,
+            initial_fields=initial_fields,
+            initial_gate=(i == 0).astype(cfg.dtype),
+            loss_weight_floor=loss_weight_floor)
         (n_params, n_opt_state, n_state, n_prev, losses, total,
          n_loss_weight) = new
         step_out = jnp.stack([losses.pde, losses.bc, losses.conservation,
@@ -314,9 +345,10 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
         params, opt_state, state, prev_fields, per_step = pn_epoch_scan(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples,
-            jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon, tcfg.dt,
-            scan_len, recon_targets=recon_targets,
-            active_steps=jnp.asarray(n_steps, jnp.int32))
+            jnp.asarray(tcfg.base_lr_at(epoch), cfg.dtype), tcfg.epsilon,
+            tcfg.dt, scan_len, recon_targets=recon_targets,
+            active_steps=jnp.asarray(n_steps, jnp.int32),
+            loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor, cfg.dtype))
         per_step = np.asarray(per_step)[:n_steps]
     else:
         step_losses = []
@@ -329,8 +361,10 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
              loss_weight) = pn_step(
                 cfg, network, opt, params, opt_state, state, prev_fields,
                 samples, time_samples, bc_samples, loss_weight,
-                jnp.asarray(tcfg.lr, cfg.dtype), tcfg.epsilon,
-                jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon)
+                jnp.asarray(tcfg.base_lr_at(epoch), cfg.dtype), tcfg.epsilon,
+                jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon,
+                loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor,
+                                              cfg.dtype))
             # Adaptive prune/split once past the split epoch (the reference's
             # model.forward(..., split=epoch > split_epoch), main_pn.py:180).
             state = _adaptive_split_jit(cfg, state, state_before)

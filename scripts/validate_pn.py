@@ -36,7 +36,16 @@ def main():
     p.add_argument("--nx", type=int, default=20)
     p.add_argument("--capacity", type=int, default=None)
     p.add_argument("--n-samples", type=int, default=1024)
+    p.add_argument("--dt", type=float, default=1.0,
+                   help="timestep size (the reference hardcodes 1.0, "
+                        "main_pn.py:62; smaller steps are easier to learn "
+                        "and the FD comparison uses the same dt)")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr-min", type=float, default=None,
+                   help="cosine-decay the base lr to this value over training")
+    p.add_argument("--loss-weight-floor", type=float, default=0.0,
+                   help="floor on the per-step loss weight so late curriculum "
+                        "steps keep learning (0.0 = reference semantics)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rollout-steps", type=int, default=50)
     p.add_argument("--res", type=int, default=64)
@@ -62,7 +71,9 @@ def main():
                              nx=args.nx, ny=args.nx, d=2, scale=1.0,
                              capacity=args.capacity)
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
-                       lr=args.lr, seed=args.seed)
+                       lr=args.lr, dt=args.dt, seed=args.seed,
+                       lr_min=args.lr_min,
+                       loss_weight_floor=args.loss_weight_floor)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")
 

@@ -179,6 +179,74 @@ def test_scan_epoch_matches_loop():
                                    atol=1e-6)
 
 
+def test_loss_weight_floor_and_lr_schedule():
+    """The training-quality knobs: the per-step loss weight never drops below
+    the configured floor, and the cosine base-lr schedule hits its endpoints
+    (defaults reproduce the reference semantics exactly)."""
+    from pigs_tpu.models.model import randomize_state, sample_fields
+    from pigs_tpu.train.pn import init_training, pn_step
+    from pigs_tpu.utils.sampling import (boundary_band_samples,
+                                         collocation_samples)
+
+    tc = TrainConfig(lr=1e-3, lr_min=1e-5, n_epochs=101)
+    assert abs(tc.base_lr_at(0) - 1e-3) < 1e-12
+    assert abs(tc.base_lr_at(100) - 1e-5) < 1e-12
+    assert tc.base_lr_at(50) < tc.base_lr_at(0)
+    assert TrainConfig(lr=1e-3).base_lr_at(50) == 1e-3  # default: constant
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=160)
+    tcfg = TrainConfig(n_samples=64, seed=0)
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    key = jax.random.PRNGKey(1)
+    state = randomize_state(cfg, key, 6)
+    samples = collocation_samples(key, 64, 2, 1.0, cfg.dtype)
+    ts = jax.random.uniform(key, (64,), cfg.dtype)
+    bc = boundary_band_samples(key, 64, 1.0, cfg.dtype)
+    prev = sample_fields(cfg, state, samples, bc)
+    lw = jnp.asarray(1e-3, cfg.dtype)  # already tiny
+    out = pn_step(cfg, network, opt, params, opt_state, state, prev, samples,
+                  ts, bc, lw, jnp.asarray(1e-3, cfg.dtype), tcfg.epsilon,
+                  jnp.asarray(0.0, cfg.dtype), tcfg.dt,
+                  loss_weight_floor=jnp.asarray(0.05, cfg.dtype))
+    assert float(out[6]) >= 0.05
+
+
+def test_initial_fields_loss_reachable():
+    """The t=0 initial-condition loss (model_pn.py:884-890) is reachable from
+    pn_step: passing initial_fields adds w.initial * MSE(prev.u, target) at
+    gate 1.0 and nothing at gate 0.0."""
+    from pigs_tpu.models.model import randomize_state, sample_fields
+    from pigs_tpu.train.pn import init_training, pn_step
+    from pigs_tpu.utils.sampling import (boundary_band_samples,
+                                         collocation_samples)
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=160)
+    tcfg = TrainConfig(n_samples=64, seed=0)
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    key = jax.random.PRNGKey(1)
+    state = randomize_state(cfg, key, 6)
+    samples = collocation_samples(key, 64, 2, 1.0, cfg.dtype)
+    ts = jax.random.uniform(key, (64,), cfg.dtype)
+    bc = boundary_band_samples(key, 64, 1.0, cfg.dtype)
+    prev = sample_fields(cfg, state, samples, bc)
+    target = prev.u + 0.5
+
+    def run(gate):
+        out = pn_step(cfg, network, opt, params, opt_state, state, prev,
+                      samples, ts, bc, jnp.ones((), cfg.dtype),
+                      jnp.asarray(0.0, cfg.dtype), tcfg.epsilon,
+                      jnp.asarray(0.0, cfg.dtype), tcfg.dt,
+                      initial_fields=target,
+                      initial_gate=jnp.asarray(gate, cfg.dtype))
+        return float(out[4].initial)
+
+    expected = cfg.weights.initial * float(jnp.mean((prev.u - target) ** 2))
+    np.testing.assert_allclose(run(1.0), expected, rtol=1e-5)
+    assert run(0.0) == 0.0
+
+
 def test_fno_convert_to_nsdataset_and_train(tmp_path):
     """The full NS data pipeline (VERDICT r1 item 4): FNO-format .npy ->
     curl-fit converter -> NSDataset .npz -> one training epoch with the

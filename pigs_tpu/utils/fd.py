@@ -123,6 +123,12 @@ def solve_fd_2d(u0: jax.Array, scale: float, dt: float, steps: int,
             return _lap2(u, h, periodic)
         if problem == "burgers":
             return nu * _lap2(u, h, periodic) - u * _dx2(u, h, 0, periodic)
+        if problem == "wave":
+            # u = (phi, psi): phi_t = psi; psi_t = 10 lap(phi) - 0.1 psi
+            # (the 2D system of test_no_mlp.py:135-139 / model_pn.py:625-629).
+            phi, psi = u[..., 0], u[..., 1]
+            return jnp.stack(
+                [psi, 10.0 * _lap2(phi, h, periodic) - 0.1 * psi], axis=-1)
         raise ValueError(problem)
 
     def rk4(u, _):

@@ -85,3 +85,23 @@ def test_fd_2d_shapes_and_stability():
     c0 = np.average(np.asarray(gx), weights=np.asarray(traj[0]) + 1e-9)
     c1 = np.average(np.asarray(gx), weights=np.asarray(traj[-1]) + 1e-9)
     assert c1 > c0  # advection along +x
+
+
+def test_fd_2d_wave_energy_exchange():
+    """2D wave system (phi_t = psi, psi_t = 10 lap(phi) - 0.1 psi): a
+    displacement bump converts into velocity and radiates outward; amplitudes
+    stay finite and the damping term shrinks total energy."""
+    res = 48
+    t = jnp.linspace(-1, 1, res) * 2.5
+    gx, gy = jnp.meshgrid(t, t, indexing="ij")
+    phi0 = jnp.exp(-(gx ** 2 + gy ** 2) / (2 * 0.025))
+    u0 = jnp.stack([phi0, jnp.zeros_like(phi0)], axis=-1)
+    traj = solve_fd_2d(u0, scale=2.5, dt=0.1, steps=4, problem="wave",
+                       substeps=400)
+    assert traj.shape == (5, res, res, 2)
+    assert np.isfinite(np.asarray(traj)).all()
+    # velocity channel starts at zero and becomes non-trivial
+    assert float(jnp.abs(traj[0, ..., 1]).max()) == 0.0
+    assert float(jnp.abs(traj[-1, ..., 1]).max()) > 1e-3
+    # the phi bump disperses: peak decreases
+    assert float(traj[-1, ..., 0].max()) < float(traj[0, ..., 0].max())

@@ -40,10 +40,11 @@ def make_inputs(m=65536, n=2048, d=2, c=1, dtype=jnp.float32):
     return means, conics, values, samples
 
 
-def main():
+def measure(m=65536, n=2048):
+    """Measured fwd+bwd pair-evals/s of the headline workload (importable —
+    benchmarks/roofline.py reuses it)."""
     from pigs_tpu.ops.mixture import eval_mixture
 
-    m, n = 65536, 2048
     means, conics, values, samples = make_inputs(m=m, n=n)
 
     def loss(means, conics, values):
@@ -71,7 +72,11 @@ def main():
         jax.block_until_ready(g)
         best = min(best, time.time() - start)
 
-    pairs_per_s = m * n * iters / best
+    return m * n * iters / best
+
+
+def main():
+    pairs_per_s = measure()
     print(json.dumps({
         "metric": "gaussian_pair_evals_per_s_fwd_bwd",
         "value": pairs_per_s,

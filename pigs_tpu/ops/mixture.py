@@ -37,6 +37,37 @@ def _pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
     return jnp.pad(x, pad_widths), size
 
 
+def _eval_d1_via_d2(means, conics, values, samples, order, mask, period,
+                    diff_samples):
+    """d=1 on the fused d=2 kernel: embed on the x-axis with a zero second
+    coordinate and a conic whose dummy row/column is zero, so the exponent,
+    every derivative order, and every adjoint are exactly the 1D values in the
+    leading index (NOTES.md r1 item 5; closes the d=1 gap without a second
+    kernel).  The pad/slice wrappers are plain XLA, so autodiff (including
+    grad-of-grad through the dense fallback) composes."""
+    from pigs_tpu.ops.pallas_mixture import eval_mixture_pallas
+    n, m = means.shape[0], samples.shape[0]
+    dt = values.dtype
+    zeros_n = jnp.zeros((n, 1), dt)
+    means2 = jnp.concatenate([means.reshape(n, 1), zeros_n], axis=-1)
+    c11 = conics.reshape(n, 1, 1)
+    row2 = jnp.zeros((n, 1, 2), dt)
+    conics2 = jnp.concatenate(
+        [jnp.concatenate([c11, jnp.zeros((n, 1, 1), dt)], axis=-1), row2],
+        axis=-2)
+    samples2 = jnp.concatenate(
+        [samples.reshape(m, 1), jnp.zeros((m, 1), dt)], axis=-1)
+    out = eval_mixture_pallas(means2, conics2, values, samples2, order=order,
+                              mask=mask, period=period,
+                              diff_samples=diff_samples)
+    return MixtureFields(
+        u=out.u,
+        ux=None if out.ux is None else out.ux[:, :1],
+        uxx=None if out.uxx is None else out.uxx[:, :1, :1],
+        uxxx=None if out.uxxx is None else out.uxxx[:, :1, :1, :1],
+    )
+
+
 @partial(jax.jit, static_argnames=("order", "period", "sample_chunk", "impl",
                                    "diff_samples"))
 def eval_mixture(
@@ -74,12 +105,16 @@ def eval_mixture(
     d = samples.shape[-1]
     if impl == "auto":
         on_accel = jax.default_backend() != "cpu"
-        use_pallas = (on_accel and d == 2
+        use_pallas = (on_accel and d in (1, 2)
                       and samples.dtype == jnp.float32)
     else:
         use_pallas = impl == "pallas"
     if use_pallas:
         from pigs_tpu.ops.pallas_mixture import eval_mixture_pallas
+        if d == 1:
+            return _eval_d1_via_d2(means, conics, values, samples, order=order,
+                                   mask=mask, period=period,
+                                   diff_samples=diff_samples)
         return eval_mixture_pallas(means, conics, values, samples, order=order,
                                    mask=mask, period=period,
                                    diff_samples=diff_samples)

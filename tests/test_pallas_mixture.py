@@ -220,3 +220,58 @@ def test_grad_of_grad_matches_dense():
             b = _sym_conic_grad(b)
         scale = max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)
+
+
+def test_pallas_d1_via_d2_matches_oracle():
+    """d=1 dispatch runs on the d=2 kernel with a zeroed second coordinate
+    (ops/mixture._eval_d1_via_d2): values for every order and the gradients
+    into all three Gaussian inputs must match the 1D dense oracle."""
+    from pigs_tpu.ops.mixture import eval_mixture
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    n, m = 40, 60
+    means = jax.random.uniform(ks[0], (n, 1), jnp.float32) * 2.0 - 1.0
+    conics = (jnp.exp(jax.random.normal(ks[1], (n, 1, 1), jnp.float32))
+              + 1.0)
+    values = jax.random.normal(ks[2], (n, 2), jnp.float32)
+    samples = jax.random.uniform(ks[3], (m, 1), jnp.float32) * 2.0 - 1.0
+    mask = jnp.arange(n) % 5 != 0
+
+    with pltpu.force_tpu_interpret_mode():
+        out = eval_mixture(means, conics, values, samples, order=3,
+                           mask=mask, impl="pallas")
+    ref = eval_mixture_dense(means, conics, values, samples, order=3,
+                             mask=mask)
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-4)
+
+    # Periodic wrap survives the embedding (second coordinate wraps to 0).
+    with pltpu.force_tpu_interpret_mode():
+        outp = eval_mixture(means, conics, values, samples, order=0,
+                            period=2.0, impl="pallas")
+    refp = eval_mixture_dense(means, conics, values, samples, order=0,
+                              period=2.0)
+    np.testing.assert_allclose(np.asarray(outp.u), np.asarray(refp.u),
+                               rtol=3e-4, atol=1e-4)
+
+    def make_loss(fn):
+        def inner(means, conics, values):
+            out = fn(means, conics, values, samples, order=2, mask=mask)
+            return (jnp.sum(out.u ** 2) + jnp.sum(out.ux ** 2)
+                    + jnp.sum(out.uxx ** 2))
+        return inner
+
+    def pallas_fn(means, conics, values, samples, order, mask):
+        return eval_mixture(means, conics, values, samples, order=order,
+                            mask=mask, impl="pallas")
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(make_loss(pallas_fn),
+                     argnums=(0, 1, 2))(means, conics, values)
+    g_ref = jax.grad(make_loss(eval_mixture_dense),
+                     argnums=(0, 1, 2))(means, conics, values)
+    for a, b in zip(g, g_ref):  # 1x1 conic: symmetrization is the identity
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-4)

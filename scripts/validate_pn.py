@@ -46,6 +46,10 @@ def main():
     p.add_argument("--loss-weight-floor", type=float, default=0.0,
                    help="floor on the per-step loss weight so late curriculum "
                         "steps keep learning (0.0 = reference semantics)")
+    p.add_argument("--train-timesteps", type=int, default=30,
+                   help="curriculum horizon (reference: 30, main_pn.py:94); "
+                        "training to the full rollout length (e.g. 50) "
+                        "suppresses late-step drift")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rollout-steps", type=int, default=50)
     p.add_argument("--res", type=int, default=64)
@@ -73,6 +77,7 @@ def main():
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
                        lr=args.lr, dt=args.dt, seed=args.seed,
                        lr_min=args.lr_min,
+                       train_timesteps=args.train_timesteps,
                        loss_weight_floor=args.loss_weight_floor)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")

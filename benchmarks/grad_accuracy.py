@@ -75,10 +75,20 @@ def main():
     ref = (data["means"], data["conics"], data["values"])
     names = ("means", "conics", "values")
 
+    def sym(g):
+        # The packed Pallas kernel returns the canonical symmetrized conic
+        # gradient while the dense/blockwise paths treat C[0,1] and C[1,0] as
+        # independent; both agree through build_full_covariances (the
+        # off-diagonals are tied), so compare symmetrized — the same
+        # convention as tests/test_pallas_mixture.py::_sym_conic_grad.
+        return 0.5 * (g + np.swapaxes(g, -1, -2))
+
     for impl in ("pallas", "blockwise"):
         got = grads(args.m, args.n, "float32", impl=impl)
         print(f"impl={impl}:")
         for nm, a, b in zip(names, got, ref):
+            if nm == "conics":
+                a, b = sym(a), sym(b)
             a, b = a.ravel(), b.ravel()
             tau = 1e-3 * np.abs(b).max()
             mask = np.abs(b) > tau

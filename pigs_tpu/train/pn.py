@@ -40,8 +40,8 @@ from pigs_tpu.pde import Problem
 from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
                                      image_samples)
 
-__all__ = ["TrainConfig", "NSDataset", "init_training", "pn_step",
-           "pn_epoch_scan", "train_epoch", "train", "rollout",
+__all__ = ["TrainConfig", "TrainResult", "NSDataset", "init_training",
+           "pn_step", "pn_epoch_scan", "train_epoch", "train", "rollout",
            "rollout_metrics"]
 
 
@@ -110,6 +110,18 @@ class TrainConfig(NamedTuple):
     lr_min: Optional[float] = None
     """If set, cosine-decay the base learning rate from ``lr`` to ``lr_min``
     over ``n_epochs`` (polish phase; the reference keeps lr constant)."""
+    ema_decay: Optional[float] = None
+    """If set (e.g. 0.999), maintain an exponential moving average of the
+    parameters, updated once per epoch, checkpointed alongside them, and
+    returned as ``TrainResult.ema_params`` — typically a lower-variance
+    rollout model than the raw final iterate."""
+    noise_std: float = 0.0
+    """If > 0, perturb the interior Gaussians' values ``u`` with
+    N(0, noise_std) at the start of every training timestep (fresh noise per
+    step and epoch) and re-sample the previous fields from the perturbed
+    state.  Trains the dynamics to damp its own rollout error instead of
+    compounding it — the standard robustness trick for autoregressive
+    simulators.  0.0 = reference semantics."""
 
     def base_lr_at(self, epoch: int) -> float:
         if self.lr_min is None:
@@ -216,7 +228,7 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
                   samples, time_samples, bc_samples, base_lr, epsilon, dt,
                   n_steps: int, recon_targets=None, recon_weight: float = 5.0,
                   active_steps=None, initial_fields=None,
-                  loss_weight_floor=0.0):
+                  loss_weight_floor=0.0, noise_std=0.0, noise_key=None):
     """All timesteps of one epoch as a single ``lax.scan`` — one dispatch per
     epoch instead of one per timestep (VERDICT r1 item 7; the reference's
     inner loop, main_pn.py:171-232).
@@ -237,6 +249,20 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
     def body(carry, xs):
         params, opt_state, state, prev_fields, loss_weight = carry
         i, recon = xs
+        # Originals for the inactive-step revert below (the perturbed state
+        # must NOT leak into the carry of steps the curriculum gates off).
+        state0, prev0 = state, prev_fields
+        if noise_key is not None:
+            # Robustness noise (TrainConfig.noise_std): perturb interior
+            # values and treat the perturbed state as the real one — previous
+            # fields are re-sampled from it so the PDE time-difference stays
+            # consistent.
+            ki = jax.random.fold_in(noise_key, i)
+            pert = noise_std * jax.random.normal(ki, state.u.shape,
+                                                 state.u.dtype)
+            pert = pert * state.interior[:, None].astype(state.u.dtype)
+            state = state._replace(u=state.u + pert)
+            prev_fields = sample_fields(cfg, state, samples, bc_samples)
         new = _pn_step_core(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, loss_weight, base_lr,
@@ -258,8 +284,8 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
 
             n_params = sel(n_params, params)
             n_opt_state = sel(n_opt_state, opt_state)
-            n_state = sel(n_state, state)
-            n_prev = sel(n_prev, prev_fields)
+            n_state = sel(n_state, state0)
+            n_prev = sel(n_prev, prev0)
             n_loss_weight = jnp.where(act, n_loss_weight, loss_weight)
             step_out = jnp.where(act, step_out, jnp.zeros_like(step_out))
         return ((n_params, n_opt_state, n_state, n_prev, n_loss_weight),
@@ -300,7 +326,7 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     until the end of the epoch — a single synchronization instead of one per
     timestep, letting XLA pipeline consecutive steps.
     """
-    k_rand, k_s, k_t, k_bc, k_n = jax.random.split(key, 5)
+    k_rand, k_s, k_t, k_bc, k_n, k_noise = jax.random.split(key, 6)
     samples = collocation_samples(k_s, tcfg.n_samples, cfg.d, cfg.scale,
                                   cfg.dtype)
     time_samples = jax.random.uniform(k_t, (tcfg.n_samples,), cfg.dtype)
@@ -348,7 +374,9 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
             jnp.asarray(tcfg.base_lr_at(epoch), cfg.dtype), tcfg.epsilon,
             tcfg.dt, scan_len, recon_targets=recon_targets,
             active_steps=jnp.asarray(n_steps, jnp.int32),
-            loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor, cfg.dtype))
+            loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor, cfg.dtype),
+            noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
+            noise_key=(k_noise if tcfg.noise_std > 0 else None))
         per_step = np.asarray(per_step)[:n_steps]
     else:
         step_losses = []
@@ -385,11 +413,28 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     return params, opt_state, totals, current_timesteps, n_steps
 
 
+class TrainResult(NamedTuple):
+    """What :func:`train` returns.  ``ema_params`` is None unless
+    ``TrainConfig.ema_decay`` is set."""
+
+    network: object
+    params: object
+    opt_state: object
+    training_loss: list
+    ema_params: object = None
+
+
+@jax.jit
+def _ema_update(ema, params, decay):
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
+
+
 def train(cfg: ModelConfig, tcfg: TrainConfig,
           checkpoint_dir: Optional[str] = None,
           resume: bool = False,
           ns_data: Optional[NSDataset] = None,
-          log_fn=print):
+          log_fn=print) -> "TrainResult":
     """Full training driver (main_pn.py:101-277); ``resume`` restores the
     latest checkpoint (the reference's argv resume path, main_pn.py:66-73)."""
     from pigs_tpu.train.checkpoint import save_checkpoint
@@ -399,14 +444,22 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     current_timesteps = tcfg.initial_timesteps
     training_loss = []
     start_epoch = 0
+    ema_params = params if tcfg.ema_decay is not None else None
     if checkpoint_dir and resume:
         from pigs_tpu.train.checkpoint import restore_checkpoint
         restored = restore_checkpoint(checkpoint_dir, params, opt_state)
         if restored is not None:
-            if len(restored) == 4:
+            if len(restored) == 5:
+                (start_epoch, params, opt_state, training_loss,
+                 ema_restored) = restored
+                if tcfg.ema_decay is not None:
+                    ema_params = ema_restored
+            elif len(restored) == 4:
                 start_epoch, params, opt_state, training_loss = restored
             else:
                 start_epoch, params, training_loss = restored
+            if tcfg.ema_decay is not None and ema_params is None:
+                ema_params = params
             log_fn(f"Resumed from {checkpoint_dir} at epoch {start_epoch}")
     window = np.zeros(5)
     window_steps = 0
@@ -416,6 +469,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         params, opt_state, totals, current_timesteps, n_steps = train_epoch(
             cfg, tcfg, network, opt, params, opt_state, sub, epoch,
             current_timesteps, ns_data=ns_data)
+        if ema_params is not None:
+            ema_params = _ema_update(ema_params, params,
+                                     jnp.asarray(tcfg.ema_decay, cfg.dtype))
         if epoch - start_epoch < 3:
             log_fn(f"[timing] epoch {epoch}: {time.time() - epoch_t0:.1f} s")
             epoch_t0 = time.time()
@@ -432,8 +488,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             window_steps = 0
         if checkpoint_dir and (epoch + 1) % tcfg.save_step == 0:
             save_checkpoint(checkpoint_dir, epoch + 1, params, opt_state,
-                            training_loss)
-    return network, params, opt_state, training_loss
+                            training_loss, ema_params=ema_params)
+    return TrainResult(network, params, opt_state, training_loss, ema_params)
 
 
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--n-samples", type=int, default=1024)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="if set, keep an EMA of the params and roll out with it")
+    p.add_argument("--noise-std", type=float, default=0.0,
+                   help="robustness noise on interior u per training step")
     p.add_argument("--out", default="results_model_pn")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ns-data", default=None,
@@ -50,14 +54,17 @@ def main():
         Problem[args.problem.upper()], IntegrationRule[args.rule.upper()],
         nx=args.nx, ny=args.ny, scale=args.scale, capacity=args.capacity)
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
-                       lr=args.lr, seed=args.seed)
+                       lr=args.lr, seed=args.seed,
+                       ema_decay=args.ema_decay, noise_std=args.noise_std)
 
     os.makedirs(args.out, exist_ok=True)
     ns_data = NSDataset.load(args.ns_data) if args.ns_data else None
 
-    network, params, opt_state, losses = train(
+    network, params, opt_state, losses, ema_params = train(
         cfg, tcfg, checkpoint_dir=os.path.join(args.out, "checkpoints"),
         resume=args.resume, ns_data=ns_data)
+    if ema_params is not None:
+        params = ema_params  # roll out with the EMA shadow
 
     if losses:
         # Training-loss curve (main_pn.py:266-270).

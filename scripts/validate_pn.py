@@ -50,6 +50,12 @@ def main():
                    help="curriculum horizon (reference: 30, main_pn.py:94); "
                         "training to the full rollout length (e.g. 50) "
                         "suppresses late-step drift")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="if set (e.g. 0.999), keep an EMA of the params and "
+                        "roll out with it")
+    p.add_argument("--noise-std", type=float, default=0.0,
+                   help="robustness noise on interior u per training step "
+                        "(0.0 = reference semantics)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rollout-steps", type=int, default=50)
     p.add_argument("--res", type=int, default=64)
@@ -78,7 +84,8 @@ def main():
                        lr=args.lr, dt=args.dt, seed=args.seed,
                        lr_min=args.lr_min,
                        train_timesteps=args.train_timesteps,
-                       loss_weight_floor=args.loss_weight_floor)
+                       loss_weight_floor=args.loss_weight_floor,
+                       ema_decay=args.ema_decay, noise_std=args.noise_std)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")
 
@@ -88,9 +95,14 @@ def main():
             f.write(str(msg) + "\n")
 
     t0 = time.time()
-    network, params, opt_state, losses = train(
+    result = train(
         cfg, tcfg, checkpoint_dir=os.path.join(args.out, "checkpoints"),
         resume=args.resume, log_fn=log_fn)
+    network, losses = result.network, result.training_loss
+    params = result.params
+    if result.ema_params is not None:
+        log_fn("rolling out with EMA params")
+        params = result.ema_params
     train_s = time.time() - t0
     log_fn(f"training wall-clock: {train_s:.1f} s "
            f"({args.epochs} epochs, capacity {cfg.capacity})")

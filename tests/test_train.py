@@ -21,14 +21,14 @@ def test_train_saves_and_resumes(tmp_path):
                        seed=0)
     ckpt = str(tmp_path / "ckpts")
     logs = []
-    network, params, _, losses = train(cfg, tcfg, checkpoint_dir=ckpt,
+    network, params, _, losses, _ = train(cfg, tcfg, checkpoint_dir=ckpt,
                                        log_fn=logs.append)
     assert len(losses) == 2
 
     # Resume continues from the saved epoch without retraining from scratch.
     tcfg2 = tcfg._replace(n_epochs=3)
     logs2 = []
-    _, params2, _, losses2 = train(cfg, tcfg2, checkpoint_dir=ckpt,
+    _, params2, _, losses2, _ = train(cfg, tcfg2, checkpoint_dir=ckpt,
                                    resume=True, log_fn=logs2.append)
     assert any("Resumed" in l for l in logs2)
     assert len(losses2) >= 3  # restored history + one new epoch
@@ -61,7 +61,7 @@ def test_ns_training_with_dataset():
     )
     tcfg = TrainConfig(n_epochs=2, n_samples=64, log_step=1, seed=0)
     logs = []
-    network, params, _, losses = train(cfg, tcfg, ns_data=data,
+    network, params, _, losses, _ = train(cfg, tcfg, ns_data=data,
                                        log_fn=logs.append)
     assert np.isfinite(losses).all()
 
@@ -130,6 +130,50 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_and_noise_training():
+    """TrainConfig.ema_decay keeps an EMA shadow of the params and
+    TrainConfig.noise_std perturbs interior values per training step; both
+    train finite, and the EMA differs from the raw final iterate."""
+    cfg = small_cfg()
+    tcfg = TrainConfig(n_epochs=3, n_samples=64, seed=0, log_step=1,
+                       train_timesteps=4, ema_decay=0.5, noise_std=0.05)
+    r = train(cfg, tcfg)
+    assert r.ema_params is not None
+    ema_leaves = jax.tree_util.tree_leaves(r.ema_params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in ema_leaves)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(ema_leaves,
+                             jax.tree_util.tree_leaves(r.params))]
+    assert max(diffs) > 0  # trailing average != final iterate
+    assert all(np.isfinite(l) for l in r.training_loss)
+    # Default config keeps reference semantics: no EMA.
+    r0 = train(cfg, TrainConfig(n_epochs=1, n_samples=64, seed=0))
+    assert r0.ema_params is None
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """EMA params ride along in checkpoints and come back in the 5-tuple
+    restore form."""
+    import optax
+    from pigs_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"w": jnp.arange(4.0)}
+    ema = {"w": jnp.arange(4.0) * 0.5}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 3, params, opt_state, [1.0], ema_params=ema)
+
+    like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+    restored = restore_checkpoint(d, like(params), like(opt_state))
+    assert len(restored) == 5
+    step, p2, _, h2, ema2 = restored
+    assert step == 3 and h2 == [1.0]
+    np.testing.assert_array_equal(np.asarray(ema2["w"]),
+                                  np.asarray(ema["w"]))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
 
 
 def test_scan_epoch_matches_loop():
@@ -278,6 +322,6 @@ def test_fno_convert_to_nsdataset_and_train(tmp_path):
     cfg = ModelConfig.create(Problem.NAVIER_STOKES, IntegrationRule.TRAPEZOID,
                              nx=5, ny=5, d=2, scale=1.0, capacity=64)
     tcfg = TrainConfig(n_epochs=1, n_samples=64, log_step=1, seed=0)
-    network, params, _, losses = train(cfg, tcfg, ns_data=data,
+    network, params, _, losses, _ = train(cfg, tcfg, ns_data=data,
                                        log_fn=logs.append)
     assert np.isfinite(losses).all()

@@ -41,8 +41,8 @@ from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
                                      image_samples)
 
 __all__ = ["TrainConfig", "TrainResult", "NSDataset", "init_training",
-           "pn_step", "pn_epoch_scan", "train_epoch", "train", "rollout",
-           "rollout_metrics"]
+           "pn_step", "pn_epoch_scan", "pn_epochs_scan", "train_epoch",
+           "train", "rollout", "rollout_metrics"]
 
 
 class NSDataset(NamedTuple):
@@ -122,6 +122,14 @@ class TrainConfig(NamedTuple):
     state.  Trains the dynamics to damp its own rollout error instead of
     compounding it — the standard robustness trick for autoregressive
     simulators.  0.0 = reference semantics."""
+    epochs_per_dispatch: int = 1
+    """Batch this many whole epochs (IC randomization, curriculum gating,
+    optimizer updates, EMA) into ONE device dispatch via a nested
+    ``lax.scan``.  On a tunneled/high-latency chip the per-epoch host
+    round-trip dominates wall-clock (~0.45 s/epoch vs a ~60 ms device scan);
+    batching removes it.  Bit-identical key streams and update order to the
+    per-epoch loop (tested).  Ignored for NS datasets and past
+    ``split_epoch``.  Best chosen to divide ``save_step``."""
 
     def base_lr_at(self, epoch: int) -> float:
         if self.lr_min is None:
@@ -309,6 +317,75 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
     return params, opt_state, state, prev_fields, per_step
 
 
+@partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_chunk",
+                                   "n_samples", "n_max", "use_ema",
+                                   "use_noise", "train_timesteps"))
+def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
+                   ema_params, key, epochs, base_lrs, current_timesteps,
+                   n_chunk: int, n_samples: int, n_max: int, use_ema: bool,
+                   use_noise: bool, train_timesteps: int,
+                   epsilon, dt, bootstrap_rate, loss_weight_floor,
+                   noise_std, ema_decay):
+    """``n_chunk`` whole epochs as ONE dispatch: a ``lax.scan`` over epochs
+    wrapping :func:`pn_epoch_scan`'s scan over timesteps.
+
+    Each epoch body reproduces :func:`train_epoch`'s scan path exactly — key
+    split order, IC randomization (traced grid edge), collocation/BC/time
+    sampling, curriculum gating, sufficiency update, loss-weight reset, EMA —
+    so the result is bit-identical to ``n_chunk`` iterations of the host
+    loop.  ``epochs`` (n_chunk,) are the global epoch indices and ``base_lrs``
+    (n_chunk,) the host-computed lr schedule values for them.
+
+    Returns ``(params, opt_state, ema_params, key, current_timesteps,
+    totals (n_chunk, 5), n_steps (n_chunk,))``.
+    """
+    def epoch_body(carry, xs):
+        params, opt_state, ema_params, key, current_ts = carry
+        epoch, base_lr = xs
+        key, sub = jax.random.split(key)
+        k_rand, k_s, k_t, k_bc, k_n, k_noise = jax.random.split(sub, 6)
+        samples = collocation_samples(k_s, n_samples, cfg.d, cfg.scale,
+                                      cfg.dtype)
+        time_samples = jax.random.uniform(k_t, (n_samples,), cfg.dtype)
+        bc_samples = boundary_band_samples(k_bc, n_samples, cfg.scale,
+                                           cfg.dtype)
+        n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
+        state = randomize_state_dynamic(cfg, k_rand, n, n_max=n_max)
+        prev_fields = sample_fields(cfg, state, samples, bc_samples)
+        prev_fields = jax.tree_util.tree_map(
+            lambda x: None if x is None else jax.lax.stop_gradient(x),
+            prev_fields, is_leaf=lambda x: x is None)
+        n_steps = jnp.minimum(
+            jnp.minimum(epoch // bootstrap_rate + 1, current_ts),
+            train_timesteps).astype(jnp.int32)
+        params, opt_state, _, _, per_step = pn_epoch_scan(
+            cfg, network, opt, params, opt_state, state, prev_fields,
+            samples, time_samples, bc_samples, base_lr, epsilon, dt,
+            train_timesteps, active_steps=n_steps,
+            loss_weight_floor=loss_weight_floor,
+            noise_std=noise_std,
+            noise_key=(k_noise if use_noise else None))
+        totals = per_step[:, :5].sum(axis=0)
+        all_sufficient = jnp.all(per_step[:, 5] < 1.0)
+        current_ts = jnp.where(
+            all_sufficient,
+            jnp.minimum(epoch // bootstrap_rate + 1, current_ts) + 1,
+            current_ts).astype(jnp.int32)
+        if use_ema:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema_params, params)
+        return ((params, opt_state, ema_params, key, current_ts),
+                (totals, n_steps))
+
+    carry = (params, opt_state, ema_params, key,
+             jnp.asarray(current_timesteps, jnp.int32))
+    carry, (totals, n_steps) = jax.lax.scan(
+        epoch_body, carry, (epochs, base_lrs), length=n_chunk)
+    params, opt_state, ema_params, key, current_ts = carry
+    return params, opt_state, ema_params, key, current_ts, totals, n_steps
+
+
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
 _randomize_jit = jax.jit(randomize_state, static_argnames=("cfg", "n"))
 _randomize_dyn_jit = jax.jit(randomize_state_dynamic,
@@ -464,19 +541,11 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     window = np.zeros(5)
     window_steps = 0
     epoch_t0 = time.time()
-    for epoch in range(start_epoch, tcfg.n_epochs):
-        key, sub = jax.random.split(key)
-        params, opt_state, totals, current_timesteps, n_steps = train_epoch(
-            cfg, tcfg, network, opt, params, opt_state, sub, epoch,
-            current_timesteps, ns_data=ns_data)
-        if ema_params is not None:
-            ema_params = _ema_update(ema_params, params,
-                                     jnp.asarray(tcfg.ema_decay, cfg.dtype))
-        if epoch - start_epoch < 3:
-            log_fn(f"[timing] epoch {epoch}: {time.time() - epoch_t0:.1f} s")
-            epoch_t0 = time.time()
-        window += totals
-        window_steps += n_steps
+
+    def finish_epoch(epoch, totals, n_steps, allow_ckpt=True):
+        nonlocal window_steps
+        window[:] += totals
+        window_steps += int(n_steps)
         if (epoch + 1) % tcfg.log_step == 0:
             avg = window[:4].sum() / max(window_steps, 1) * tcfg.train_timesteps
             training_loss.append(avg)
@@ -486,9 +555,68 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                    f"steps/epoch {n_steps}")
             window[:] = 0
             window_steps = 0
-        if checkpoint_dir and (epoch + 1) % tcfg.save_step == 0:
+        if (checkpoint_dir and allow_ckpt
+                and (epoch + 1) % tcfg.save_step == 0):
             save_checkpoint(checkpoint_dir, epoch + 1, params, opt_state,
                             training_loss, ema_params=ema_params)
+
+    # Multi-epoch dispatch applies outside the adaptive-split regime and for
+    # randomized (non-NS-dataset) ICs; key streams match the per-epoch loop
+    # exactly, so mixing chunked and per-epoch segments is seamless.
+    n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
+        50 if cfg.problem == Problem.TEST else 100)
+    n_max = min(39, int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1)))))
+    epoch = start_epoch
+    timing_logged = 0
+    while epoch < tcfg.n_epochs:
+        chunk = 1
+        if tcfg.epochs_per_dispatch > 1 and ns_data is None:
+            chunk = min(tcfg.epochs_per_dispatch, tcfg.n_epochs - epoch)
+            if epoch + chunk - 1 > tcfg.split_epoch:
+                chunk = 1  # adaptive splitting needs the per-epoch path
+        if chunk > 1:
+            base_lrs = jnp.asarray([tcfg.base_lr_at(e) for e in
+                                    range(epoch, epoch + chunk)], cfg.dtype)
+            (params, opt_state, ema_params, key, current_ts_arr, totals_arr,
+             nsteps_arr) = pn_epochs_scan(
+                cfg, network, opt, params, opt_state, ema_params, key,
+                jnp.arange(epoch, epoch + chunk, dtype=jnp.int32), base_lrs,
+                current_timesteps, n_chunk=chunk, n_samples=tcfg.n_samples,
+                n_max=n_max, use_ema=ema_params is not None,
+                use_noise=tcfg.noise_std > 0,
+                train_timesteps=tcfg.train_timesteps,
+                epsilon=tcfg.epsilon, dt=tcfg.dt,
+                bootstrap_rate=tcfg.bootstrap_rate,
+                loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor,
+                                              cfg.dtype),
+                noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
+                ema_decay=jnp.asarray(tcfg.ema_decay or 0.0, cfg.dtype))
+            current_timesteps = int(current_ts_arr)
+            totals_np = np.asarray(totals_arr)
+            nsteps_np = np.asarray(nsteps_arr)
+            for i in range(chunk):
+                finish_epoch(epoch + i, totals_np[i], nsteps_np[i],
+                             allow_ckpt=(i == chunk - 1))
+            if timing_logged < 3:
+                log_fn(f"[timing] epochs {epoch}..{epoch + chunk - 1}: "
+                       f"{time.time() - epoch_t0:.1f} s")
+                epoch_t0 = time.time()
+                timing_logged += 1
+            epoch += chunk
+            continue
+        key, sub = jax.random.split(key)
+        params, opt_state, totals, current_timesteps, n_steps = train_epoch(
+            cfg, tcfg, network, opt, params, opt_state, sub, epoch,
+            current_timesteps, ns_data=ns_data)
+        if ema_params is not None:
+            ema_params = _ema_update(ema_params, params,
+                                     jnp.asarray(tcfg.ema_decay, cfg.dtype))
+        if timing_logged < 3:
+            log_fn(f"[timing] epoch {epoch}: {time.time() - epoch_t0:.1f} s")
+            epoch_t0 = time.time()
+            timing_logged += 1
+        finish_epoch(epoch, totals, n_steps)
+        epoch += 1
     return TrainResult(network, params, opt_state, training_loss, ema_params)
 
 

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--ema-decay", type=float, default=None,
                    help="if set, keep an EMA of the params and roll out with it")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1,
+                   help="batch N whole epochs into one device dispatch "
+                        "(bit-identical result; big win on high-latency "
+                        "links; best dividing save_step)")
     p.add_argument("--noise-std", type=float, default=0.0,
                    help="robustness noise on interior u per training step")
     p.add_argument("--out", default="results_model_pn")
@@ -55,7 +59,8 @@ def main():
         nx=args.nx, ny=args.ny, scale=args.scale, capacity=args.capacity)
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
                        lr=args.lr, seed=args.seed,
-                       ema_decay=args.ema_decay, noise_std=args.noise_std)
+                       ema_decay=args.ema_decay, noise_std=args.noise_std,
+                       epochs_per_dispatch=args.epochs_per_dispatch)
 
     os.makedirs(args.out, exist_ok=True)
     ns_data = NSDataset.load(args.ns_data) if args.ns_data else None

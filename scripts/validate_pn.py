@@ -53,6 +53,10 @@ def main():
     p.add_argument("--ema-decay", type=float, default=None,
                    help="if set (e.g. 0.999), keep an EMA of the params and "
                         "roll out with it")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1,
+                   help="batch N whole epochs into one device dispatch "
+                        "(bit-identical result; big win on high-latency "
+                        "links; best dividing save_step)")
     p.add_argument("--noise-std", type=float, default=0.0,
                    help="robustness noise on interior u per training step "
                         "(0.0 = reference semantics)")
@@ -85,7 +89,8 @@ def main():
                        lr_min=args.lr_min,
                        train_timesteps=args.train_timesteps,
                        loss_weight_floor=args.loss_weight_floor,
-                       ema_decay=args.ema_decay, noise_std=args.noise_std)
+                       ema_decay=args.ema_decay, noise_std=args.noise_std,
+                       epochs_per_dispatch=args.epochs_per_dispatch)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")
 

@@ -153,6 +153,29 @@ def test_ema_and_noise_training():
     assert r0.ema_params is None
 
 
+def test_epochs_per_dispatch_matches_loop():
+    """TrainConfig.epochs_per_dispatch batches whole epochs into one
+    lax.scan dispatch with bit-matching key streams — the trained params
+    must agree with the per-epoch host loop."""
+    cfg = small_cfg()
+    base = dict(n_epochs=4, n_samples=64, seed=0, log_step=2,
+                train_timesteps=3)
+    r1 = train(cfg, TrainConfig(**base))
+    r2 = train(cfg, TrainConfig(**base, epochs_per_dispatch=2))
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r1.training_loss, r2.training_loss,
+                               rtol=1e-4, atol=1e-6)
+    # Chunked + EMA + noise composes and stays finite.
+    r3 = train(cfg, TrainConfig(**base, epochs_per_dispatch=2,
+                                ema_decay=0.7, noise_std=0.02))
+    assert r3.ema_params is not None
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(r3.ema_params))
+
+
 def test_ema_checkpoint_roundtrip(tmp_path):
     """EMA params ride along in checkpoints and come back in the 5-tuple
     restore form."""

@@ -61,6 +61,14 @@ class NoMLPConfig(NamedTuple):
     tol: float = 1e-4
     init_raw_scaling: float = -4.0
     dtype: jnp.dtype = jnp.float32
+    min_keep: int = 0
+    """If > 0, pruning never leaves fewer than this many active Gaussians:
+    when the reference keep-criterion (||v|| > 0.01 and sum(var) < 0.5,
+    test_no_mlp.py:198-200) would underflow it, the top ``min_keep`` active
+    slots by value norm are kept instead.  Guards long 2D solves against
+    total mixture collapse once the solution steepens (the reference's
+    criterion can prune ALL Gaussians after a diverged step).  0 = reference
+    semantics."""
 
     @property
     def c(self) -> int:
@@ -208,6 +216,16 @@ def densify(cfg: NoMLPConfig, params: RawParams, opt_state, active,
     keep = ((jnp.linalg.norm(params.values, axis=-1) > 0.01)
             & (jnp.sum(jnp.exp(params.raw_scaling), axis=-1) < 0.5))
     keep = keep & active
+    if cfg.min_keep > 0:
+        # Collapse guard: when the criterion would keep fewer than min_keep,
+        # keep the top min_keep active slots by value norm instead.  If fewer
+        # than min_keep slots are active at all, the kth value is -inf and
+        # the fallback keeps every active slot.
+        vnorm = jnp.where(active, jnp.linalg.norm(params.values, axis=-1),
+                          -jnp.inf)
+        kth = jnp.sort(vnorm)[-cfg.min_keep]
+        fallback = active & (vnorm >= kth)
+        keep = jnp.where(jnp.sum(keep) >= cfg.min_keep, keep, fallback)
 
     g = jnp.where(active, grad_norm, jnp.nan)
     mu = jnp.nanmean(g)

@@ -36,6 +36,9 @@ def main():
     p.add_argument("--densify-every", type=int, default=3,
                    help="densify every N blocks (test_no_mlp.py "
                         "densification_step = 3*log_step+1); 0 = off")
+    p.add_argument("--min-keep", type=int, default=0,
+                   help="pruning floor: never leave fewer than this many "
+                        "active Gaussians (0 = reference semantics)")
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
@@ -61,7 +64,7 @@ def main():
     cfg = NoMLPConfig(problem=problem, d=2, scale=args.scale,
                       n_init=args.n_init, capacity=args.capacity,
                       n_samples=args.n_samples, dt=args.dt,
-                      max_iters=args.max_iters)
+                      max_iters=args.max_iters, min_keep=args.min_keep)
 
     t0 = time.time()
     traj = solve(cfg, jax.random.PRNGKey(args.seed), args.timesteps,

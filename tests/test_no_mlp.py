@@ -89,6 +89,33 @@ def test_densify_prunes_and_splits():
     assert float(jnp.sum(jnp.abs(adam_state.mu.raw_means[child]))) == 0.0
 
 
+def test_densify_min_keep_guards_collapse():
+    """min_keep stops the reference keep-criterion from pruning the whole
+    mixture: when every value is below the 0.01 threshold, the top min_keep
+    slots by value norm survive."""
+    cfg = cfg_1d(capacity=40, min_keep=8)
+    params, active = init_params(cfg)
+    # All values below the prune threshold -> reference semantics would
+    # deactivate everything.
+    values = jnp.linspace(1e-4, 5e-3, cfg.capacity).reshape(-1, 1)
+    params = params._replace(values=values.astype(params.values.dtype))
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+    grad = jnp.zeros_like(params.raw_means)
+    _, _, new_active = densify(cfg, params, opt_state, active, grad)
+    kept = np.nonzero(np.asarray(new_active))[0]
+    assert len(kept) == 8
+    # The survivors are the largest-value active slots.
+    vnorm = np.array(jnp.abs(values[:, 0]), copy=True)
+    vnorm[~np.asarray(active)] = -np.inf
+    expected = set(np.argsort(vnorm)[-8:])
+    assert set(kept) == expected
+    # With min_keep=0 (reference semantics) the same state collapses.
+    cfg0 = cfg_1d(capacity=40, min_keep=0)
+    _, _, act0 = densify(cfg0, params, opt_state, active, grad)
+    assert np.asarray(act0).sum() == 0
+
+
 def test_fit_initial_condition_2d_wave():
     """2D wave IC fit (test_no_mlp.py config): channel 1 fits the bump,
     channel 0 stays near zero."""

@@ -5,18 +5,22 @@ The order-2 mixture evaluation is transcendental-bound, not MXU-bound: per
 (sample, Gaussian) pair the forward computes one exp plus ~40 f32 VPU flops,
 and the Gaussian-side backward recomputes the exp once more (the sample-side
 kernel is skipped for ``diff_samples=False``, the bench workload).  The
-relevant hardware ceiling is therefore the chip's exp throughput, measured
-here directly, plus the HBM stream rate as a sanity floor.
+relevant hardware ceiling is therefore the chip's exp throughput.
 
-Probe design note: repeated dispatches with *identical* arguments measure
-nothing on this setup — the axon tunnel pipelines/dedupes them, reporting
-physically impossible rates (>30 TB/s "bandwidth").  Every probe below is a
-data-dependent chain: the compute probe nests K exps inside ONE fused
-elementwise kernel (y <- exp(-y) composed K times, domain-stable in (0, 1]),
-the bandwidth probe runs K full read+write passes under ``lax.fori_loop``,
-and successive dispatches feed the previous output back as input.
+Measurement methodology on this tunneled chip (see benchmarks/timing_diag.py
+for the experiment):
 
-Prints one line per probe plus the implied fraction-of-roofline.
+  * ``block_until_ready`` is honest for the real fused-kernel grad step
+    (block == value-readback timing to <1%), so bench.py's number stands.
+  * It UNDER-waits for large elementwise chains, and large arrays are
+    shipped host<->device per dispatch (~4.4 GB/s network), so chip-local
+    HBM bandwidth is NOT measurable through the tunnel and any probe with
+    big operands measures the network, not the chip.
+
+Therefore the exp probe below uses a SMALL persistent array (8 MB, shipping
+cost ~2 ms) with a very deep in-kernel chain (4096 dependent exps per
+element via fori_loop), a per-call drift so no dispatch ever repeats, and a
+value-readback barrier.  Compute (~8.6e9 exps) dominates transfer >40x.
 """
 
 import os
@@ -29,52 +33,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 16  # chain length per dispatch
-
-
-def timed_chain(f, x, iters=8):
-    """Time ``x = f(x)`` chains: data-dependent across AND inside dispatches."""
-    x = jax.block_until_ready(f(x))  # compile
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            x = f(x)
-        jax.block_until_ready(x)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+N = 2 * 1024 * 1024   # 8 MB f32
+K_INNER = 16          # unrolled exps per loop body
+K_LOOP = 256          # fori_loop trips -> 4096 exps/element/dispatch
 
 
 def main():
-    n = 64 * 1024 * 1024  # 256 MB f32: far beyond VMEM, HBM-streamed
-    x = jnp.linspace(0.05, 1.0, n, dtype=jnp.float32)
-
     @jax.jit
-    def exp_chain(v):
-        # K nested exps fused into one elementwise kernel: one HBM read +
-        # one write, K exps per element -> compute-bound at K=16.
-        for _ in range(K):
-            v = jnp.exp(-v)
-        return v
+    def deep_exp(v, drift):
+        def body(_, u):
+            for _ in range(K_INNER):
+                u = jnp.exp(-u) + drift
+            return u
+        return jax.lax.fori_loop(0, K_LOOP, body, v)
 
-    t = timed_chain(exp_chain, x)
-    exp_rate = K * n / t
+    x = jnp.linspace(0.05, 1.0, N, dtype=jnp.float32)
+    x = jax.block_until_ready(deep_exp(x, jnp.float32(0.0)))  # compile
 
-    @jax.jit
-    def bw_chain(v):
-        # K sequential full passes (read + write each) over the array; the
-        # loop-carried dependence forces XLA to materialize every pass.
-        return jax.lax.fori_loop(
-            0, K, lambda i, u: u * 1.0000001 + 0.5, v)
+    iters, j = 4, 0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        j += 1
+        x = deep_exp(x, jnp.float32(j * 1e-4))
+    _ = float(np.asarray(x[:8]).ravel()[0])   # value-readback barrier
+    t = (time.perf_counter() - t0) / iters
 
-    t = timed_chain(bw_chain, x)
-    bw = K * 2 * 4 * n / t  # K passes x (read + write) x 4 B
-
+    exps = N * K_INNER * K_LOOP
+    exp_rate = exps / t
     print(f"exp throughput:    {exp_rate/1e9:8.2f} Ge/s  "
-          f"(K={K} nested, {n/1e6:.0f}M lanes)")
-    print(f"HBM stream rate:   {bw/1e9:8.1f} GB/s  (fori_loop passes)")
+          f"({exps/1e9:.1f}e9 dependent exps per {t*1e3:.1f} ms dispatch)")
 
-    # Headline kernel rate (same workload as bench.py).
+    # Headline kernel rate (same workload as bench.py; verified honest by
+    # timing_diag.py: block == readback for this step).
     from bench import measure
     pair_rate = measure()
     # fwd+bwd = 2 exps per pair (the backward recomputes the density once).
@@ -82,6 +72,9 @@ def main():
     print(f"kernel pair rate:  {pair_rate/1e9:8.2f} Gpair/s (fwd+bwd)")
     print(f"implied exp rate:  {implied_exp/1e9:8.2f} Ge/s "
           f"= {implied_exp/exp_rate*100:.0f}% of the measured exp roofline")
+    print("note: the kernel also does ~40 VPU flops/pair around each exp; "
+          "matching a pure-exp stream is unattainable, so the % above is a "
+          "lower bound on how close the kernel is to the VPU ceiling.")
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ import numpy as np
 
 from pigs_tpu.train.fit import FitConfig, fit, image_target
 
-__all__ = ["load_fno", "fit_fno_trajectory", "convert_fno"]
+__all__ = ["load_fno", "fit_fno_trajectory", "convert_fno", "generate_fno"]
 
 
 def load_fno(path: str) -> np.ndarray:
@@ -52,8 +52,8 @@ def fit_fno_trajectory(frame: jax.Array, nx: int = 20, iters: int = 2000,
     ``(nx*nx, ...)`` — the per-trajectory initialization main_pn.py:44-49
     loads from ``f_{i}-small.pt``."""
     cfg = FitConfig(nx=nx, capacity=nx * nx, iters=iters,
-                    block_iters=block_iters, curl=True, periodic=True,
-                    tanh_means=False)
+                    block_iters=min(block_iters, iters), curl=True,
+                    periodic=True, tanh_means=False)
     target = image_target(jnp.asarray(frame, jnp.float32))
     params, active, losses = fit(cfg, target, jax.random.PRNGKey(seed))
     means = np.asarray(params.raw_means)           # periodic: raw IS the mean
@@ -88,4 +88,38 @@ def convert_fno(path: str, out: str, count: Optional[int] = None,
              scaling=np.stack(scaling), transforms=np.stack(transforms),
              frames=data[:k].astype(np.float32))
     log_fn(f"wrote {k} trajectories to {out}")
+    return out
+
+
+def generate_fno(out: str, n_traj: int = 5, res: int = 64, steps: int = 50,
+                 dt: float = 0.1, nu: float = 1e-3, seed: int = 0,
+                 gen_res: int = 128, log_fn=print) -> str:
+    """Generate an FNO-format NS dataset with the in-tree pseudo-spectral
+    solver (:func:`pigs_tpu.utils.fd.solve_ns_2d`) — the stand-in for the
+    external ``ns_V1e-3_N50_T50.npy`` (main_pn.py:36-43), with the SAME
+    unforced dynamics the PN model's residual penalizes (model_pn.py:630-632).
+
+    Solves at ``gen_res`` and strides down to ``res`` (band-limited ICs make
+    the stride spectrally exact).  Output layout ``(T, res, res, N)`` with
+    frame axis order [y, x] ascending — the convention both
+    :func:`pigs_tpu.train.fit.image_target` (curl fit) and
+    ``NSDataset.recon_target`` index with.
+    """
+    import jax
+
+    from pigs_tpu.utils.fd import random_vorticity, solve_ns_2d
+
+    key = jax.random.PRNGKey(seed)
+    frames = []
+    for i in range(n_traj):
+        key, sub = jax.random.split(key)
+        w0 = random_vorticity(sub, gen_res, scale=1.0)
+        traj = solve_ns_2d(w0, 1.0, dt, steps, nu=nu,
+                           substeps=max(20, int(200 * dt)), res_out=res)
+        # solver layout [x, y] -> stored layout [y, x]
+        frames.append(np.asarray(traj).transpose(0, 2, 1))
+        log_fn(f"trajectory {i}: |w| max {np.abs(frames[-1]).max():.3f}")
+    data = np.stack(frames, axis=-1).astype(np.float32)  # (T+1, res, res, N)
+    np.save(out, data)
+    log_fn(f"wrote FNO-format dataset {data.shape} to {out}")
     return out

@@ -16,7 +16,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve_fd_1d", "solve_fd_2d"]
+__all__ = ["solve_fd_1d", "solve_fd_2d", "solve_ns_2d", "random_vorticity"]
 
 
 def _dx1(u, h, periodic):
@@ -148,3 +148,100 @@ def solve_fd_2d(u0: jax.Array, scale: float, dt: float, steps: int,
 
     _, traj = jax.lax.scan(outer, u0, None, length=steps)
     return jnp.concatenate([u0[None], traj], axis=0)
+
+
+# --------------------------------------------------------------------------
+# 2D incompressible Navier-Stokes, vorticity form, periodic pseudo-spectral.
+# Ground truth for the NS problem the PN model trains on
+# (model_pn.py:630-632: w_t = nu lap(w) - u . grad(w), unforced) — the
+# in-tree stand-in for the external FNO dataset ns_V1e-3_N50_T50.npy
+# (main_pn.py:36-49).
+
+
+def _ns_wavenumbers(res: int, period: float):
+    k = 2.0 * jnp.pi * jnp.fft.fftfreq(res, d=period / res)
+    kx = k[:, None]
+    ky = k[None, :]
+    k2 = kx * kx + ky * ky
+    inv_k2 = jnp.where(k2 == 0.0, 0.0, 1.0 / jnp.where(k2 == 0.0, 1.0, k2))
+    # 2/3-rule dealiasing mask for the quadratic advection term.
+    kmax = jnp.max(jnp.abs(k))
+    dealias = (jnp.abs(kx) <= (2.0 / 3.0) * kmax) & \
+              (jnp.abs(ky) <= (2.0 / 3.0) * kmax)
+    return kx, ky, k2, inv_k2, dealias
+
+
+@partial(jax.jit, static_argnames=("steps", "substeps", "res_out"))
+def solve_ns_2d(w0: jax.Array, scale: float, dt: float, steps: int,
+                nu: float = 1e-3, substeps: int = 20,
+                res_out: int | None = None) -> jax.Array:
+    """Pseudo-spectral solve of ``w_t = nu lap(w) - u . grad(w)`` on the
+    period-``2*scale`` torus (the model's NS domain, model.py period=2.0).
+
+    ``w0``: (res, res) vorticity with axis 0 = x, axis 1 = y ascending.
+    Velocity from the stream function ``lap(psi) = -w``,
+    ``u = (psi_y, -psi_x)`` — the convention matching the model's
+    ``w = d(u_y)/dx - d(u_x)/dy`` (model_pn.py:653-659).  RK4 with integrating
+    factor for the viscous term; 2/3-rule dealiased advection.  Returns
+    ``(steps+1, res, res)`` including the initial frame.
+    """
+    res = w0.shape[0]
+    period = 2.0 * scale
+    kx, ky, k2, inv_k2, dealias = _ns_wavenumbers(res, period)
+    dt_in = dt / substeps
+
+    def advection_hat(w_hat):
+        psi_hat = w_hat * inv_k2          # lap(psi) = -w  =>  psi_hat = w/k2
+        ux = jnp.fft.ifft2(1j * ky * psi_hat).real
+        uy = jnp.fft.ifft2(-1j * kx * psi_hat).real
+        wx = jnp.fft.ifft2(1j * kx * w_hat).real
+        wy = jnp.fft.ifft2(1j * ky * w_hat).real
+        return -jnp.fft.fft2(ux * wx + uy * wy) * dealias
+
+    # Integrating factor e^{-nu k^2 t} handles viscosity exactly; RK4 on the
+    # advection term in the transformed variable.
+    e_half = jnp.exp(-nu * k2 * dt_in * 0.5)
+    e_full = e_half * e_half
+
+    def rk4(w_hat, _):
+        k1 = advection_hat(w_hat)
+        k2_ = advection_hat(e_half * (w_hat + 0.5 * dt_in * k1))
+        k3 = advection_hat(e_half * w_hat + 0.5 * dt_in * k2_)
+        k4 = advection_hat(e_full * w_hat + dt_in * e_half * k3)
+        w_hat = (e_full * w_hat
+                 + dt_in / 6.0 * (e_full * k1 + 2.0 * e_half * (k2_ + k3)
+                                  + k4))
+        return w_hat, None
+
+    def outer(w_hat, _):
+        w_hat, _ = jax.lax.scan(rk4, w_hat, None, length=substeps)
+        return w_hat, jnp.fft.ifft2(w_hat).real
+
+    w_hat0 = jnp.fft.fft2(jnp.asarray(w0))
+    _, traj = jax.lax.scan(outer, w_hat0, None, length=steps)
+    out = jnp.concatenate([jnp.asarray(w0)[None].astype(traj.dtype), traj],
+                          axis=0)
+    if res_out is not None and res_out != res:
+        # Spectrally-consistent subsampling (the FNO datasets are generated
+        # at high res and strided down): plain stride keeps band-limited
+        # fields exact on the coarse grid.
+        stride = res // res_out
+        out = out[:, ::stride, ::stride]
+    return out
+
+
+def random_vorticity(key: jax.Array, res: int, scale: float = 1.0,
+                     peak_k: float = 3.0, amplitude: float = 1.0) -> jax.Array:
+    """Random smooth initial vorticity: a Gaussian random field with spectrum
+    ``exp(-(|k|/k0 - 1)^2)`` band-centered at ``peak_k`` domain wavenumbers —
+    the role of the FNO generator's Gaussian-measure ICs.  Zero-mean (no
+    k=0 component), normalized to unit max-abs times ``amplitude``."""
+    period = 2.0 * scale
+    k = 2.0 * jnp.pi * jnp.fft.fftfreq(res, d=period / res)
+    k2 = k[:, None] ** 2 + k[None, :] ** 2
+    k0 = 2.0 * jnp.pi * peak_k / period
+    spectrum = jnp.exp(-((jnp.sqrt(k2) / k0) - 1.0) ** 2 * 4.0)
+    spectrum = spectrum.at[0, 0].set(0.0)
+    noise = jax.random.normal(key, (res, res))
+    w = jnp.fft.ifft2(jnp.fft.fft2(noise) * spectrum).real
+    return amplitude * w / jnp.max(jnp.abs(w))

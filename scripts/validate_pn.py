@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--problem", default="burgers",
-                   choices=["burgers", "diffusion", "test"])
+                   choices=["burgers", "diffusion", "wave", "test"])
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--nx", type=int, default=20)
     p.add_argument("--capacity", type=int, default=None)
@@ -123,18 +123,36 @@ def main():
                "evo_time_s": evo_time,
                "final_loss": losses[-1] if losses else None}
 
-    if problem in (Problem.BURGERS, Problem.DIFFUSION):
+    if problem in (Problem.BURGERS, Problem.DIFFUSION, Problem.WAVE):
         # frames: (steps, c, res, res), image layout (row = flipped y,
         # col = x).  FD layout: axis 0 = x, y ascending.
-        f0 = frames[0, 0]
-        u0_fd = jnp.asarray(np.flipud(f0).T)
-        gt = np.asarray(solve_fd_2d(u0_fd, cfg.scale, tcfg.dt,
-                                    args.rollout_steps,
-                                    problem=args.problem, nu=cfg.coeff.nu))
-        gt_frames = np.stack([np.flipud(g.T) for g in gt])  # image layout
-        np.save(os.path.join(args.out, "fd_gt_frames.npy"), gt_frames)
-        m = rollout_metrics(frames[:, 0], gt_frames)
-        summary.update(m)
+        if problem == Problem.WAVE:
+            # Two-channel system (phi, psi); FD ground truth evolves both
+            # (test_no_mlp.py:135-139 / model_pn.py:625-629 semantics).
+            u0_fd = jnp.stack(
+                [jnp.asarray(np.flipud(frames[0, ch]).T) for ch in range(2)],
+                axis=-1)
+            gt = np.asarray(solve_fd_2d(u0_fd, cfg.scale, tcfg.dt,
+                                        args.rollout_steps, problem="wave"))
+            gt_frames = np.stack(  # (steps+1, c, res, res) image layout
+                [np.stack([np.flipud(g[..., ch].T) for ch in range(2)])
+                 for g in gt])
+            np.save(os.path.join(args.out, "fd_gt_frames.npy"), gt_frames)
+            m = rollout_metrics(frames[:, 0], gt_frames[:, 0])
+            m_psi = rollout_metrics(frames[:, 1], gt_frames[:, 1])
+            summary.update(m)
+            summary["mean_rel_norm_psi"] = m_psi["mean_rel_norm"]
+            summary["per_step_rel_norm_psi"] = m_psi["per_step_rel_norm"]
+        else:
+            f0 = frames[0, 0]
+            u0_fd = jnp.asarray(np.flipud(f0).T)
+            gt = np.asarray(solve_fd_2d(u0_fd, cfg.scale, tcfg.dt,
+                                        args.rollout_steps,
+                                        problem=args.problem, nu=cfg.coeff.nu))
+            gt_frames = np.stack([np.flipud(g.T) for g in gt])  # image layout
+            np.save(os.path.join(args.out, "fd_gt_frames.npy"), gt_frames)
+            m = rollout_metrics(frames[:, 0], gt_frames)
+            summary.update(m)
         log_fn("per-step rel-L2 vs FD: "
                + " ".join(f"{v:.3f}" for v in m["per_step_rel_norm"]))
         log_fn(f"mean rel-L2 vs FD: {m['mean_rel_norm']:.4f}")

@@ -105,3 +105,61 @@ def test_fd_2d_wave_energy_exchange():
     assert float(jnp.abs(traj[-1, ..., 1]).max()) > 1e-3
     # the phi bump disperses: peak decreases
     assert float(traj[-1, ..., 0].max()) < float(traj[0, ..., 0].max())
+
+
+def test_ns_2d_single_mode_exact_decay():
+    """A single Fourier mode is an exact NS solution (its self-advection
+    vanishes): w(t) = w0 exp(-nu |k|^2 t).  The pseudo-spectral solver must
+    track it to near machine precision."""
+    from pigs_tpu.utils.fd import solve_ns_2d
+
+    res, scale, nu = 32, 1.0, 1e-3
+    x = jnp.linspace(0, 2 * scale, res, endpoint=False)
+    gx, gy = jnp.meshgrid(x, x, indexing="ij")
+    kxm, kym = 2, 1
+    k2 = ((2 * jnp.pi * kxm / (2 * scale)) ** 2
+          + (2 * jnp.pi * kym / (2 * scale)) ** 2)
+    w0 = jnp.sin(2 * jnp.pi * (kxm * gx + kym * gy) / (2 * scale))
+    steps, dt = 5, 0.5
+    traj = solve_ns_2d(w0, scale, dt, steps, nu=nu, substeps=20)
+    exact = w0 * jnp.exp(-nu * k2 * dt * steps)
+    err = float(jnp.max(jnp.abs(traj[-1] - exact))
+                / jnp.max(jnp.abs(exact)))
+    assert err < 1e-6
+
+
+def test_ns_2d_invariants_random_field():
+    """Unforced 2D NS conserves mean vorticity exactly and dissipates
+    enstrophy monotonically."""
+    from pigs_tpu.utils.fd import random_vorticity, solve_ns_2d
+
+    w0 = random_vorticity(jax.random.PRNGKey(0), 32)
+    traj = solve_ns_2d(w0, 1.0, 0.5, 6, nu=1e-3, substeps=40)
+    assert np.isfinite(np.asarray(traj)).all()
+    assert abs(float(traj[-1].mean())) < 1e-10
+    ens = [float((f ** 2).mean()) for f in traj[::2]]
+    assert all(b < a for a, b in zip(ens, ens[1:]))
+
+
+def test_generate_fno_convert_roundtrip(tmp_path):
+    """generate_fno -> convert_fno -> NSDataset: layouts line up and the
+    curl fit actually reduces its objective on the generated frame."""
+    from pigs_tpu.train.ns_data import convert_fno, generate_fno
+    from pigs_tpu.train.pn import NSDataset
+
+    fno = str(tmp_path / "ns.npy")
+    npz = str(tmp_path / "ns.npz")
+    generate_fno(fno, n_traj=2, res=24, steps=3, dt=0.2, seed=3,
+                 gen_res=48, log_fn=lambda *_: None)
+    raw = np.load(fno)
+    assert raw.shape == (4, 24, 24, 2)
+    convert_fno(fno, npz, nx=6, iters=60, log_fn=lambda *_: None)
+    ds = NSDataset.load(npz)
+    assert ds.means.shape[0] == 2 and ds.frames.shape == (2, 24, 24, 4)
+    # recon_target indexes [y, x]: probing at the location of the frame's
+    # max must return (close to) the frame's max value.
+    frame = np.asarray(ds.frames[0, :, :, 0])
+    iy, ix = np.unravel_index(np.argmax(frame), frame.shape)
+    sample = jnp.asarray([[(ix + 0.5) / 24 * 2 - 1, (iy + 0.5) / 24 * 2 - 1]])
+    got = float(ds.recon_target(0, 0, sample)[0])
+    assert abs(got - frame[iy, ix]) < 1e-6

@@ -161,6 +161,8 @@ class DynamicsNetwork(nn.Module):
     c: int
     d: int
     pde_size: int
+    width_mult: int = 1   # scales every hidden width (1 = reference sizes;
+                          # EMBEDDING_SIZE is positional and stays fixed)
 
     @nn.compact
     def __call__(self, means, full_cov, u, boundaries, sample_u, sample_ux,
@@ -169,6 +171,9 @@ class DynamicsNetwork(nn.Module):
         n, d = means.shape
         transform_size = d * (d - 1) // 2
         dtype = means.dtype
+        m = self.width_mult
+        LATENT, L1, L2, L3 = (LATENT_SIZE * m, L1_SIZE * m, L2_SIZE * m,
+                              L3_SIZE * m)
 
         _, t_cov, t_u, t_sample_u, t_ux, t_uxx, t_pde = InputTransform(
             self.c, self.d, self.pde_size)(
@@ -179,7 +184,7 @@ class DynamicsNetwork(nn.Module):
             [t_cov, t_u, boundaries[:, None].astype(dtype), t_sample_u,
              t_ux, t_uxx, t_pde], axis=-1)
 
-        features = MLP([L1_SIZE, L2_SIZE, L3_SIZE, LATENT_SIZE],
+        features = MLP([L1, L2, L3, LATENT],
                        name="input_projection")(t_params)  # (N, LATENT)
 
         # Fixed random sinusoidal frequencies (model_pn.py:227-230,
@@ -188,21 +193,21 @@ class DynamicsNetwork(nn.Module):
         frequencies = (jax.random.normal(
             jax.random.PRNGKey(42), (freq_size,)) * 10.0).astype(dtype)
 
-        mid = (LATENT_SIZE + L1_SIZE) // 2
+        mid = (LATENT + L1) // 2
         all_features = [features]
         magnitudes = []
         for h in range(ATTENTION_HEADS):
             transform = self.param(
                 f"transform_{h}", nn.initializers.uniform(scale=2.0),
-                (LATENT_SIZE, LATENT_SIZE))
+                (LATENT, LATENT))
             transform = transform - 1.0  # U[-1, 1) like torch.rand*2-1
             distance_transform = self.param(
                 f"distance_transform_{h}", nn.initializers.uniform(scale=2.0),
-                (LATENT_SIZE, EMBEDDING_SIZE * 2))
+                (LATENT, EMBEDDING_SIZE * 2))
             distance_transform = distance_transform - 1.0
-            queries = MLP([LATENT_SIZE, LATENT_SIZE, mid, L1_SIZE],
+            queries = MLP([LATENT, LATENT, mid, L1],
                           name=f"query_{h}")(features)
-            keys = MLP([LATENT_SIZE, LATENT_SIZE, mid, L1_SIZE],
+            keys = MLP([LATENT, LATENT, mid, L1],
                        name=f"key_{h}")(features)
             # The factored (angle-addition) formulation is the fastest path on
             # every backend — all-matmul, no per-pair transcendentals — and
@@ -218,8 +223,8 @@ class DynamicsNetwork(nn.Module):
 
         l = ATTENTION_HEADS // 2 + 1
         out_size = d + d + transform_size + self.c
-        deltas = MLP([l * LATENT_SIZE, LATENT_SIZE, LATENT_SIZE, L3_SIZE,
-                      L2_SIZE, out_size], name="delta_net")(local_global)
+        deltas = MLP([l * LATENT, LATENT, LATENT, L3,
+                      L2, out_size], name="delta_net")(local_global)
 
         gate = active.astype(dtype)[:, None]
         dmeans = deltas[:, :d] * gate

@@ -66,6 +66,9 @@ class ModelConfig(NamedTuple):
     weights: LossWeights
     coeff: PDECoefficients
     dtype: jnp.dtype = jnp.float32
+    width_mult: int = 1           # network width multiplier (1 = reference
+                                  # sizes, model_pn.py:44-49; >1 is an opt-in
+                                  # capacity knob this framework adds)
 
     @property
     def channels(self) -> int:
@@ -86,7 +89,7 @@ class ModelConfig(NamedTuple):
                rule: IntegrationRule = IntegrationRule.TRAPEZOID,
                nx: int = 20, ny: int = 20, d: int = 2, scale: float = 1.0,
                capacity: Optional[int] = None,
-               dtype=jnp.float32) -> "ModelConfig":
+               dtype=jnp.float32, width_mult: int = 1) -> "ModelConfig":
         if capacity is None:
             # Must cover the training-time domain-randomized ICs: the grid
             # edge is sampled in [15, 40) (main_pn.py:153), i.e. up to 39^2
@@ -97,11 +100,13 @@ class ModelConfig(NamedTuple):
         return ModelConfig(problem=problem, rule=rule, nx=nx, ny=ny, d=d,
                            scale=scale, capacity=capacity,
                            weights=LossWeights.default(problem),
-                           coeff=PDECoefficients.default(problem), dtype=dtype)
+                           coeff=PDECoefficients.default(problem), dtype=dtype,
+                           width_mult=width_mult)
 
 
 def make_network(cfg: ModelConfig) -> DynamicsNetwork:
-    return DynamicsNetwork(c=cfg.channels, d=cfg.d, pde_size=cfg.pde_size)
+    return DynamicsNetwork(c=cfg.channels, d=cfg.d, pde_size=cfg.pde_size,
+                           width_mult=cfg.width_mult)
 
 
 def _boundary_gaussians(cfg: ModelConfig):

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--nx", type=int, default=20)
     p.add_argument("--capacity", type=int, default=None)
+    p.add_argument("--width-mult", type=int, default=1,
+                   help="network width multiplier (1 = reference sizes)")
     p.add_argument("--n-samples", type=int, default=1024)
     p.add_argument("--dt", type=float, default=1.0,
                    help="timestep size (the reference hardcodes 1.0, "
@@ -83,7 +85,8 @@ def main():
     problem = Problem[args.problem.upper()]
     cfg = ModelConfig.create(problem, IntegrationRule.TRAPEZOID,
                              nx=args.nx, ny=args.nx, d=2, scale=1.0,
-                             capacity=args.capacity)
+                             capacity=args.capacity,
+                             width_mult=args.width_mult)
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
                        lr=args.lr, dt=args.dt, seed=args.seed,
                        lr_min=args.lr_min,

@@ -155,3 +155,39 @@ def test_grid_state_dynamic_matches_static():
                 b = np.asarray(getattr(stat, f))[np.asarray(stat.active)]
                 np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
                                            err_msg=f"{problem} n={n} {f}")
+
+
+def test_width_mult_scales_parameters():
+    """width_mult=1 keeps the exact reference layer sizes; width_mult=2
+    doubles every hidden width (EMBEDDING stays fixed) and still produces
+    finite, mask-gated deltas."""
+    from pigs_tpu.models.model import (ModelConfig, forward_step,
+                                       make_initial_state, make_network)
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import TrainConfig, init_training
+
+    cfgs = {}
+    for m in (1, 2):
+        cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                                 nx=6, ny=6, capacity=256, width_mult=m)
+        network, params, _, _ = init_training(cfg, TrainConfig(n_epochs=1))
+        counts = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        cfgs[m] = (cfg, network, params, counts)
+
+    _, _, p1, n1 = cfgs[1]
+    _, _, p2, n2 = cfgs[2]
+    # Reference sizes at m=1: input_projection ends at LATENT=16.
+    kernel = p1["params"]["input_projection"]["Dense_3"]["kernel"]
+    assert kernel.shape[-1] == 16
+    kernel2 = p2["params"]["input_projection"]["Dense_3"]["kernel"]
+    assert kernel2.shape[-1] == 32
+    assert n2 > 2 * n1  # hidden-hidden matmuls quadruple; IO layers double
+
+    cfg, network, params, _ = cfgs[2]
+    state = make_initial_state(cfg)
+    new_state, deltas = forward_step(cfg, network, params, state)
+    for leaf in jax.tree_util.tree_leaves(deltas):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # inactive slots stay gated to zero
+    inactive = ~np.asarray(state.active)
+    assert np.abs(np.asarray(deltas.dmeans)[inactive]).max() == 0.0

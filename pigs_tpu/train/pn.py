@@ -122,6 +122,14 @@ class TrainConfig(NamedTuple):
     state.  Trains the dynamics to damp its own rollout error instead of
     compounding it — the standard robustness trick for autoregressive
     simulators.  0.0 = reference semantics."""
+    adaptive_sampling: float = 0.0
+    """Fraction of collocation points drawn by gradient-magnitude importance
+    sampling instead of uniformly: candidates are oversampled 4x uniform, and
+    ``round(frac * n_samples)`` of them are resampled with probability
+    proportional to |grad u| at the epoch's initial state — concentrating
+    PDE-residual work where the field is steep (RAR-style adaptive
+    refinement; the reference samples uniformly, main_pn.py:103).
+    0.0 = reference semantics."""
     epochs_per_dispatch: int = 1
     """Batch this many whole epochs (IC randomization, curriculum gating,
     optimizer updates, EMA) into ONE device dispatch via a nested
@@ -319,13 +327,14 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
 
 @partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_chunk",
                                    "n_samples", "n_max", "use_ema",
-                                   "use_noise", "train_timesteps"))
+                                   "use_noise", "train_timesteps",
+                                   "adaptive_frac"))
 def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                    ema_params, key, epochs, base_lrs, current_timesteps,
                    n_chunk: int, n_samples: int, n_max: int, use_ema: bool,
                    use_noise: bool, train_timesteps: int,
                    epsilon, dt, bootstrap_rate, loss_weight_floor,
-                   noise_std, ema_decay):
+                   noise_std, ema_decay, adaptive_frac: float = 0.0):
     """``n_chunk`` whole epochs as ONE dispatch: a ``lax.scan`` over epochs
     wrapping :func:`pn_epoch_scan`'s scan over timesteps.
 
@@ -351,6 +360,9 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                                            cfg.dtype)
         n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
         state = randomize_state_dynamic(cfg, k_rand, n, n_max=n_max)
+        if adaptive_frac > 0:
+            samples = importance_samples(cfg, jax.random.fold_in(k_s, 1),
+                                         n_samples, state, adaptive_frac)
         prev_fields = sample_fields(cfg, state, samples, bc_samples)
         prev_fields = jax.tree_util.tree_map(
             lambda x: None if x is None else jax.lax.stop_gradient(x),
@@ -384,6 +396,28 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
         epoch_body, carry, (epochs, base_lrs), length=n_chunk)
     params, opt_state, ema_params, key, current_ts = carry
     return params, opt_state, ema_params, key, current_ts, totals, n_steps
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "frac", "oversample"))
+def importance_samples(cfg: ModelConfig, key: jax.Array, n: int,
+                       state: MixtureState, frac: float,
+                       oversample: int = 4) -> jax.Array:
+    """Draw ``n`` collocation points where ``round(frac*n)`` are
+    importance-resampled from ``oversample*n`` uniform candidates with
+    probability proportional to |grad u| of ``state``'s field
+    (TrainConfig.adaptive_sampling)."""
+    k_cand, k_pick, k_uni = jax.random.split(key, 3)
+    n_imp = int(round(n * frac))
+    cand = collocation_samples(k_cand, n * oversample, cfg.d, cfg.scale,
+                               cfg.dtype)
+    _, conics = covariance_of(state)
+    out = eval_mixture(state.means, conics, state.u, cand, order=1,
+                      mask=state.active, period=cfg.period,
+                      diff_samples=False)
+    w = jnp.sqrt(jnp.sum(out.ux ** 2, axis=(1, 2))) + 1e-6
+    idx = jax.random.categorical(k_pick, jnp.log(w), shape=(n_imp,))
+    uni = collocation_samples(k_uni, n - n_imp, cfg.d, cfg.scale, cfg.dtype)
+    return jnp.concatenate([cand[idx], uni], axis=0)
 
 
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
@@ -426,6 +460,10 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
                                                  1)))))
         n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
         state = _randomize_dyn_jit(cfg, k_rand, n, n_max=n_max)
+    if tcfg.adaptive_sampling > 0:
+        samples = importance_samples(cfg, jax.random.fold_in(k_s, 1),
+                                     tcfg.n_samples, state,
+                                     tcfg.adaptive_sampling)
     prev_fields = _sample_fields_jit(cfg, state, samples, bc_samples)
     prev_fields = jax.tree_util.tree_map(
         lambda x: None if x is None else jax.lax.stop_gradient(x), prev_fields,
@@ -590,7 +628,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                 loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor,
                                               cfg.dtype),
                 noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
-                ema_decay=jnp.asarray(tcfg.ema_decay or 0.0, cfg.dtype))
+                ema_decay=jnp.asarray(tcfg.ema_decay or 0.0, cfg.dtype),
+                adaptive_frac=tcfg.adaptive_sampling)
             current_timesteps = int(current_ts_arr)
             totals_np = np.asarray(totals_arr)
             nsteps_np = np.asarray(nsteps_arr)

@@ -59,6 +59,10 @@ def main():
                    help="batch N whole epochs into one device dispatch "
                         "(bit-identical result; big win on high-latency "
                         "links; best dividing save_step)")
+    p.add_argument("--adaptive-sampling", type=float, default=0.0,
+                   help="fraction of collocation points drawn by "
+                        "|grad u|-importance sampling (0.0 = reference "
+                        "uniform)")
     p.add_argument("--noise-std", type=float, default=0.0,
                    help="robustness noise on interior u per training step "
                         "(0.0 = reference semantics)")
@@ -93,6 +97,7 @@ def main():
                        train_timesteps=args.train_timesteps,
                        loss_weight_floor=args.loss_weight_floor,
                        ema_decay=args.ema_decay, noise_std=args.noise_std,
+                       adaptive_sampling=args.adaptive_sampling,
                        epochs_per_dispatch=args.epochs_per_dispatch)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")

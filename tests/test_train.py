@@ -348,3 +348,32 @@ def test_fno_convert_to_nsdataset_and_train(tmp_path):
     network, params, _, losses, _ = train(cfg, tcfg, ns_data=data,
                                        log_fn=logs.append)
     assert np.isfinite(losses).all()
+
+
+def test_importance_sampling_concentrates_on_gradients():
+    """adaptive_sampling draws collocation points preferentially where
+    |grad u| is large, and training runs with it enabled (both the per-epoch
+    and the multi-epoch-dispatch paths)."""
+    from pigs_tpu.models.model import ModelConfig, make_initial_state
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import TrainConfig, importance_samples, train
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=160)
+    state = make_initial_state(cfg)
+    # The burgers IC bump is centered at the origin: importance samples must
+    # land closer to it than uniform ones on average.
+    key = jax.random.PRNGKey(0)
+    imp = importance_samples(cfg, key, 256, state, frac=1.0)
+    uni = importance_samples(cfg, key, 256, state, frac=0.0)
+    r_imp = float(jnp.mean(jnp.linalg.norm(imp, axis=-1)))
+    r_uni = float(jnp.mean(jnp.linalg.norm(uni, axis=-1)))
+    assert imp.shape == uni.shape == (256, 2)
+    assert r_imp < r_uni - 0.1
+
+    for epd in (1, 2):
+        tcfg = TrainConfig(n_epochs=2, n_samples=64, seed=0,
+                           adaptive_sampling=0.5, epochs_per_dispatch=epd,
+                           log_step=1)
+        result = train(cfg, tcfg, log_fn=lambda *_: None)
+        assert np.isfinite(result.training_loss).all()

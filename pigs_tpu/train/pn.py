@@ -406,13 +406,18 @@ def importance_samples(cfg: ModelConfig, key: jax.Array, n: int,
     importance-resampled from ``oversample*n`` uniform candidates with
     probability proportional to |grad u| of ``state``'s field
     (TrainConfig.adaptive_sampling)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"adaptive_sampling fraction must be in [0, 1], "
+                         f"got {frac}")
     k_cand, k_pick, k_uni = jax.random.split(key, 3)
     n_imp = int(round(n * frac))
     cand = collocation_samples(k_cand, n * oversample, cfg.d, cfg.scale,
                                cfg.dtype)
     _, conics = covariance_of(state)
+    # interior mask: the same field the PDE residual trains on
+    # (boundary Gaussians can carry nonzero u, e.g. Problem.TEST).
     out = eval_mixture(state.means, conics, state.u, cand, order=1,
-                      mask=state.active, period=cfg.period,
+                      mask=state.interior, period=cfg.period,
                       diff_samples=False)
     w = jnp.sqrt(jnp.sum(out.ux ** 2, axis=(1, 2))) + 1e-6
     idx = jax.random.categorical(k_pick, jnp.log(w), shape=(n_imp,))
@@ -555,6 +560,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     from pigs_tpu.train.checkpoint import save_checkpoint
 
     network, params, opt, opt_state = init_training(cfg, tcfg)
+    if tcfg.epochs_per_dispatch > 1 and ns_data is not None:
+        log_fn("note: epochs_per_dispatch > 1 has no effect with an NS "
+               "dataset (per-epoch stored-initialization path)")
     key = jax.random.PRNGKey(tcfg.seed)
     current_timesteps = tcfg.initial_timesteps
     training_loss = []

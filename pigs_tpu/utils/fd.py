@@ -222,11 +222,16 @@ def solve_ns_2d(w0: jax.Array, scale: float, dt: float, steps: int,
     out = jnp.concatenate([jnp.asarray(w0)[None].astype(traj.dtype), traj],
                           axis=0)
     if res_out is not None and res_out != res:
-        # Spectrally-consistent subsampling (the FNO datasets are generated
-        # at high res and strided down): plain stride keeps band-limited
-        # fields exact on the coarse grid.
-        stride = res // res_out
-        out = out[:, ::stride, ::stride]
+        # Spectrally-exact downsampling: truncate to the coarse grid's modes
+        # then inverse-transform (a plain stride would alias the dealiased
+        # band k in (res_out/2, res/3] back onto low wavenumbers).
+        if not 0 < res_out < res:
+            raise ValueError(f"res_out {res_out} must be in (0, {res})")
+        h = res_out // 2
+        hat = jnp.fft.fft2(out) * (res_out / res) ** 2
+        rows = jnp.concatenate([hat[:, :h], hat[:, -h:]], axis=1)
+        coarse = jnp.concatenate([rows[:, :, :h], rows[:, :, -h:]], axis=2)
+        out = jnp.fft.ifft2(coarse).real
     return out
 
 

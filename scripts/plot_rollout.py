@@ -57,6 +57,10 @@ def main():
     pred, gt = pred[:n], gt[:n]
     steps = args.steps or [int(round(i * (n - 1) / 5)) for i in range(6)]
     steps = [s for s in steps if s < n]
+    if not steps:
+        print(f"requested steps all out of range (0..{n - 1}); "
+              f"using evenly spaced defaults")
+        steps = [int(round(i * (n - 1) / 5)) for i in range(6)]
 
     summary = {}
     spath = os.path.join(d, "summary.json")

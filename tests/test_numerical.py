@@ -126,6 +126,14 @@ def test_ns_2d_single_mode_exact_decay():
     err = float(jnp.max(jnp.abs(traj[-1] - exact))
                 / jnp.max(jnp.abs(exact)))
     assert err < 1e-6
+    # Spectral downsampling is exact for this band-limited field: the
+    # coarse trajectory equals the exact solution on the coarse grid.
+    coarse = solve_ns_2d(w0, scale, dt, steps, nu=nu, substeps=20,
+                         res_out=16)
+    exact_c = exact[::2, ::2]  # single low mode: stride IS exact here
+    errc = float(jnp.max(jnp.abs(coarse[-1] - exact_c))
+                 / jnp.max(jnp.abs(exact_c)))
+    assert errc < 1e-5
 
 
 def test_ns_2d_invariants_random_field():
@@ -144,7 +152,8 @@ def test_ns_2d_invariants_random_field():
 def test_generate_fno_convert_roundtrip(tmp_path):
     """generate_fno -> convert_fno -> NSDataset: layouts line up and the
     curl fit actually reduces its objective on the generated frame."""
-    from pigs_tpu.train.ns_data import convert_fno, generate_fno
+    from pigs_tpu.train.ns_data import (convert_fno, fit_fno_trajectory,
+                                        generate_fno)
     from pigs_tpu.train.pn import NSDataset
 
     fno = str(tmp_path / "ns.npy")
@@ -163,3 +172,7 @@ def test_generate_fno_convert_roundtrip(tmp_path):
     sample = jnp.asarray([[(ix + 0.5) / 24 * 2 - 1, (iy + 0.5) / 24 * 2 - 1]])
     got = float(ds.recon_target(0, 0, sample)[0])
     assert abs(got - frame[iy, ix]) < 1e-6
+    # The curl fit converges on this frame: its final objective must be a
+    # small fraction of the target's mean-square vorticity.
+    *_, loss = fit_fno_trajectory(jnp.asarray(frame), nx=6, iters=200)
+    assert np.isfinite(loss) and loss < 0.5 * float((frame ** 2).mean())

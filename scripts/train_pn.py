@@ -38,6 +38,19 @@ def main():
                         "links; best dividing save_step)")
     p.add_argument("--noise-std", type=float, default=0.0,
                    help="robustness noise on interior u per training step")
+    p.add_argument("--adaptive-sampling", type=float, default=0.0,
+                   help="fraction of collocation points drawn by |grad u| "
+                        "importance sampling (0.0 = reference uniform)")
+    p.add_argument("--width-mult", type=int, default=1,
+                   help="network width multiplier (1 = reference sizes)")
+    p.add_argument("--dt", type=float, default=1.0,
+                   help="timestep size (reference hardcodes 1.0)")
+    p.add_argument("--lr-min", type=float, default=None,
+                   help="cosine-decay the base lr to this value")
+    p.add_argument("--loss-weight-floor", type=float, default=0.0,
+                   help="floor on the per-step loss weight")
+    p.add_argument("--train-timesteps", type=int, default=30,
+                   help="curriculum horizon (reference: 30)")
     p.add_argument("--out", default="results_model_pn")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ns-data", default=None,
@@ -56,10 +69,15 @@ def main():
 
     cfg = ModelConfig.create(
         Problem[args.problem.upper()], IntegrationRule[args.rule.upper()],
-        nx=args.nx, ny=args.ny, scale=args.scale, capacity=args.capacity)
+        nx=args.nx, ny=args.ny, scale=args.scale, capacity=args.capacity,
+        width_mult=args.width_mult)
     tcfg = TrainConfig(n_epochs=args.epochs, n_samples=args.n_samples,
-                       lr=args.lr, seed=args.seed,
+                       lr=args.lr, seed=args.seed, dt=args.dt,
+                       lr_min=args.lr_min,
+                       train_timesteps=args.train_timesteps,
+                       loss_weight_floor=args.loss_weight_floor,
                        ema_decay=args.ema_decay, noise_std=args.noise_std,
+                       adaptive_sampling=args.adaptive_sampling,
                        epochs_per_dispatch=args.epochs_per_dispatch)
 
     os.makedirs(args.out, exist_ok=True)

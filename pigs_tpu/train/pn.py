@@ -244,7 +244,8 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
                   samples, time_samples, bc_samples, base_lr, epsilon, dt,
                   n_steps: int, recon_targets=None, recon_weight: float = 5.0,
                   active_steps=None, initial_fields=None,
-                  loss_weight_floor=0.0, noise_std=0.0, noise_key=None):
+                  loss_weight_floor=0.0, noise_std=0.0, noise_key=None,
+                  do_split=None):
     """All timesteps of one epoch as a single ``lax.scan`` — one dispatch per
     epoch instead of one per timestep (VERDICT r1 item 7; the reference's
     inner loop, main_pn.py:171-232).
@@ -257,6 +258,12 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
     scan: steps >= active_steps run but their updates are discarded and their
     loss rows are zero, so one compile (n_steps = train_timesteps) serves
     every curriculum length.
+
+    ``do_split`` (traced bool scalar, or None = off): apply adaptive
+    prune/split after every active step and re-sample the carried previous
+    fields from the split state — the split-regime semantics of the host
+    loop (main_pn.py:180, ``model.forward(..., split=epoch > split_epoch)``)
+    but inside the scan, so split-regime epochs keep the one-dispatch cost.
 
     Returns (params, opt_state, state, prev_fields,
     per_step (n_steps, 6): [pde, bc, conservation, initial, magnitude, total]).
@@ -291,8 +298,23 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
          n_loss_weight) = new
         step_out = jnp.stack([losses.pde, losses.bc, losses.conservation,
                               losses.initial, losses.magnitude, total])
+        act = (i < active_steps) if active_steps is not None else None
+        if do_split is not None:
+            pred = do_split if act is None else (do_split & act)
+            no_split_prev = n_prev
+
+            def _with_split(args):
+                s2 = adaptive_split(cfg, args[0], args[1])
+                return s2, sample_fields(cfg, s2, samples, bc_samples)
+
+            def _no_split(args):
+                return args[0], no_split_prev
+
+            # split compares against the state the step started from
+            # (post-noise), mirroring the host loop's state_before.
+            n_state, n_prev = jax.lax.cond(
+                pred, _with_split, _no_split, (n_state, state))
         if active_steps is not None:
-            act = i < active_steps
 
             def sel(a, b):
                 return jax.tree_util.tree_map(
@@ -328,13 +350,14 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
 @partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_chunk",
                                    "n_samples", "n_max", "use_ema",
                                    "use_noise", "train_timesteps",
-                                   "adaptive_frac"))
+                                   "adaptive_frac", "use_split"))
 def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                    ema_params, key, epochs, base_lrs, current_timesteps,
                    n_chunk: int, n_samples: int, n_max: int, use_ema: bool,
                    use_noise: bool, train_timesteps: int,
                    epsilon, dt, bootstrap_rate, loss_weight_floor,
-                   noise_std, ema_decay, adaptive_frac: float = 0.0):
+                   noise_std, ema_decay, adaptive_frac: float = 0.0,
+                   use_split: bool = False, split_epoch=None):
     """``n_chunk`` whole epochs as ONE dispatch: a ``lax.scan`` over epochs
     wrapping :func:`pn_epoch_scan`'s scan over timesteps.
 
@@ -376,7 +399,8 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
             train_timesteps, active_steps=n_steps,
             loss_weight_floor=loss_weight_floor,
             noise_std=noise_std,
-            noise_key=(k_noise if use_noise else None))
+            noise_key=(k_noise if use_noise else None),
+            do_split=((epoch > split_epoch) if use_split else None))
         totals = per_step[:, :5].sum(axis=0)
         all_sufficient = jnp.all(per_step[:, 5] < 1.0)
         current_ts = jnp.where(
@@ -434,7 +458,8 @@ _adaptive_split_jit = jax.jit(adaptive_split, static_argnames=("cfg",))
 
 def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
                 params, opt_state, key, epoch: int, current_timesteps: int,
-                ns_data: Optional[NSDataset] = None):
+                ns_data: Optional[NSDataset] = None,
+                _force_loop: bool = False):
     """One epoch: fresh randomized ICs, curriculum-bounded timestep loop.
 
     Host/device efficiency: the IC randomization and field sampling are jitted
@@ -478,10 +503,12 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
     n_steps = min(min(epoch // tcfg.bootstrap_rate + 1, current_timesteps),
                   tcfg.train_timesteps)
     do_split = epoch > tcfg.split_epoch
-    if not do_split:
+    if not (do_split and _force_loop):
         # Whole epoch as one fixed-length lax.scan dispatch with the
-        # curriculum gated inside — ONE compile serves every epoch (the
-        # reference schedule never splits: split_epoch=10000 > N=5000).
+        # curriculum gated inside — ONE compile serves every epoch.  Past
+        # the split epoch the scan applies adaptive prune/split per step
+        # (do_split flag); the host loop below is kept only as the
+        # reference implementation for equivalence tests.
         scan_len = tcfg.train_timesteps
         recon_targets = None
         if data_index is not None:
@@ -496,7 +523,8 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
             active_steps=jnp.asarray(n_steps, jnp.int32),
             loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor, cfg.dtype),
             noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
-            noise_key=(k_noise if tcfg.noise_std > 0 else None))
+            noise_key=(k_noise if tcfg.noise_std > 0 else None),
+            do_split=(jnp.asarray(True) if do_split else None))
         per_step = np.asarray(per_step)[:n_steps]
     else:
         step_losses = []
@@ -618,9 +646,10 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         chunk = 1
         if tcfg.epochs_per_dispatch > 1 and ns_data is None:
             chunk = min(tcfg.epochs_per_dispatch, tcfg.n_epochs - epoch)
-            if epoch + chunk - 1 > tcfg.split_epoch:
-                chunk = 1  # adaptive splitting needs the per-epoch path
         if chunk > 1:
+            # Adaptive splitting runs inside the scan (do_split gating), so
+            # split-regime epochs keep the multi-epoch dispatch.
+            use_split = epoch + chunk - 1 > tcfg.split_epoch
             base_lrs = jnp.asarray([tcfg.base_lr_at(e) for e in
                                     range(epoch, epoch + chunk)], cfg.dtype)
             (params, opt_state, ema_params, key, current_ts_arr, totals_arr,
@@ -637,7 +666,9 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                                               cfg.dtype),
                 noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
                 ema_decay=jnp.asarray(tcfg.ema_decay or 0.0, cfg.dtype),
-                adaptive_frac=tcfg.adaptive_sampling)
+                adaptive_frac=tcfg.adaptive_sampling,
+                use_split=use_split,
+                split_epoch=jnp.asarray(tcfg.split_epoch, jnp.int32))
             current_timesteps = int(current_ts_arr)
             totals_np = np.asarray(totals_arr)
             nsteps_np = np.asarray(nsteps_arr)

@@ -377,3 +377,55 @@ def test_importance_sampling_concentrates_on_gradients():
                            log_step=1)
         result = train(cfg, tcfg, log_fn=lambda *_: None)
         assert np.isfinite(result.training_loss).all()
+
+
+def test_split_epoch_scan_matches_loop():
+    """Past split_epoch, the scanned epoch (adaptive split inside lax.scan)
+    must reproduce the host-loop reference implementation exactly."""
+    from pigs_tpu.models.model import ModelConfig
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import TrainConfig, init_training, train_epoch
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=200)
+    tcfg = TrainConfig(n_epochs=4, n_samples=64, seed=0, split_epoch=0,
+                       train_timesteps=4, bootstrap_rate=1, dt=0.5)
+    network, params, opt, opt_state = init_training(cfg, tcfg)
+    key = jax.random.PRNGKey(7)
+    epoch, cur_ts = 3, 5   # epoch > split_epoch -> split regime
+
+    out_scan = train_epoch(cfg, tcfg, network, opt, params, opt_state, key,
+                           epoch, cur_ts)
+    out_loop = train_epoch(cfg, tcfg, network, opt, params, opt_state, key,
+                           epoch, cur_ts, _force_loop=True)
+    p_s, _, totals_s, ts_s, n_s = out_scan
+    p_l, _, totals_l, ts_l, n_l = out_loop
+    assert n_s == n_l and ts_s == ts_l
+    # Same math, two compilations: totals agree to f32 fusion-reordering
+    # noise (~2e-6 relative, measured).  Per-parameter agreement is bounded
+    # by the Adam update scale instead — normalized updates g/(sqrt(v)+eps)
+    # amplify tiny gradient noise on near-zero entries to O(lr) — so the
+    # param check only rules out semantic divergence (which compounds to
+    # >> lr over 4 steps, e.g. a flipped split decision).
+    np.testing.assert_allclose(totals_s, totals_l, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s),
+                    jax.tree_util.tree_leaves(p_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=3e-3)
+
+
+def test_multi_epoch_dispatch_through_split_regime():
+    """epochs_per_dispatch > 1 keeps working past split_epoch (split runs
+    inside the scanned epochs instead of forcing the per-epoch path)."""
+    from pigs_tpu.models.model import ModelConfig
+    from pigs_tpu.pde import IntegrationRule, Problem
+    from pigs_tpu.train.pn import TrainConfig, train
+
+    cfg = ModelConfig.create(Problem.BURGERS, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=200)
+    tcfg = TrainConfig(n_epochs=4, n_samples=64, seed=0, split_epoch=1,
+                       train_timesteps=3, bootstrap_rate=1, dt=0.5,
+                       epochs_per_dispatch=2, log_step=1)
+    result = train(cfg, tcfg, log_fn=lambda *_: None)
+    assert len(result.training_loss) == 4
+    assert np.isfinite(result.training_loss).all()

@@ -211,6 +211,13 @@ def main():
     log_fn(json.dumps({k: v for k, v in summary.items()
                        if not isinstance(v, list)}))
 
+    try:
+        from pigs_tpu.utils.plotting import render_rollout_artifacts
+        for w in render_rollout_artifacts(args.out):
+            log_fn(f"wrote {w}")
+    except Exception as e:  # plots are best-effort after a long run
+        log_fn(f"panel rendering failed: {e}")
+
 
 if __name__ == "__main__":
     main()

@@ -34,7 +34,7 @@ from pigs_tpu.models.model import (Losses, ModelConfig, StepFields,
                                    make_initial_state, make_network,
                                    randomize_state, randomize_state_dynamic,
                                    sample_fields)
-from pigs_tpu.models.state import MixtureState, covariance_of
+from pigs_tpu.models.state import MixtureState, covariance_of, init_state
 from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.pde import Problem
 from pigs_tpu.utils.sampling import (boundary_band_samples, collocation_samples,
@@ -136,8 +136,9 @@ class TrainConfig(NamedTuple):
     ``lax.scan``.  On a tunneled/high-latency chip the per-epoch host
     round-trip dominates wall-clock (~0.45 s/epoch vs a ~60 ms device scan);
     batching removes it.  Bit-identical key streams and update order to the
-    per-epoch loop (tested).  Ignored for NS datasets and past
-    ``split_epoch``.  Best chosen to divide ``save_step``."""
+    per-epoch loop (tested), including NS datasets (traced stored-init index)
+    and the adaptive-split regime (do_split gating inside the scan).  Best
+    chosen to divide ``save_step``."""
 
     def base_lr_at(self, epoch: int) -> float:
         if self.lr_min is None:
@@ -357,7 +358,8 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                    use_noise: bool, train_timesteps: int,
                    epsilon, dt, bootstrap_rate, loss_weight_floor,
                    noise_std, ema_decay, adaptive_frac: float = 0.0,
-                   use_split: bool = False, split_epoch=None):
+                   use_split: bool = False, split_epoch=None,
+                   ns_arrays=None):
     """``n_chunk`` whole epochs as ONE dispatch: a ``lax.scan`` over epochs
     wrapping :func:`pn_epoch_scan`'s scan over timesteps.
 
@@ -367,6 +369,13 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
     so the result is bit-identical to ``n_chunk`` iterations of the host
     loop.  ``epochs`` (n_chunk,) are the global epoch indices and ``base_lrs``
     (n_chunk,) the host-computed lr schedule values for them.
+
+    ``ns_arrays`` (optional): a stacked :class:`NSDataset` as a plain tuple
+    ``(means, u, scaling, transforms, frames)``.  When given, each epoch
+    draws a stored initialization by a *traced* index (the chunked analog of
+    train_epoch's ``data_index``, main_pn.py:142-149) and the per-step
+    vorticity reconstruction targets are gathered on device — so NS training
+    keeps the one-dispatch-per-chunk cost.
 
     Returns ``(params, opt_state, ema_params, key, current_timesteps,
     totals (n_chunk, 5), n_steps (n_chunk,))``.
@@ -381,11 +390,32 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
         time_samples = jax.random.uniform(k_t, (n_samples,), cfg.dtype)
         bc_samples = boundary_band_samples(k_bc, n_samples, cfg.scale,
                                            cfg.dtype)
-        n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
-        state = randomize_state_dynamic(cfg, k_rand, n, n_max=n_max)
+        if ns_arrays is not None:
+            # Stored initialization drawn per epoch; randint on the same key
+            # slot as train_epoch's host-level data_index draw.
+            ns_means, ns_u, ns_scaling, ns_transforms, ns_frames = ns_arrays
+            data_index = jax.random.randint(k_n, (), 0, ns_means.shape[0])
+            state = init_state(cfg.capacity, ns_means[data_index],
+                               ns_scaling[data_index],
+                               ns_transforms[data_index], ns_u[data_index])
+        else:
+            n = jnp.minimum(jax.random.randint(k_n, (), 15, 40), n_max)
+            state = randomize_state_dynamic(cfg, k_rand, n, n_max=n_max)
         if adaptive_frac > 0:
             samples = importance_samples(cfg, jax.random.fold_in(k_s, 1),
                                          n_samples, state, adaptive_frac)
+        recon_targets = None
+        if ns_arrays is not None:
+            # NSDataset.recon_target for all curriculum steps at once:
+            # frame[coords_y, coords_x, min(t, T-1)] at the (final) samples.
+            frame_t = ns_frames[data_index]                   # (res, res, T)
+            fres = frame_t.shape[0]
+            coords = jnp.clip(((samples + 1.0) / 2.0 * fres).astype(jnp.int32),
+                              0, fres - 1)
+            per_t = frame_t[coords[:, 1], coords[:, 0], :]    # (m, T)
+            t_idx = jnp.minimum(jnp.arange(1, train_timesteps + 1),
+                                frame_t.shape[-1] - 1)
+            recon_targets = per_t[:, t_idx].T                 # (steps, m)
         prev_fields = sample_fields(cfg, state, samples, bc_samples)
         prev_fields = jax.tree_util.tree_map(
             lambda x: None if x is None else jax.lax.stop_gradient(x),
@@ -396,7 +426,8 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
         params, opt_state, _, _, per_step = pn_epoch_scan(
             cfg, network, opt, params, opt_state, state, prev_fields,
             samples, time_samples, bc_samples, base_lr, epsilon, dt,
-            train_timesteps, active_steps=n_steps,
+            train_timesteps, recon_targets=recon_targets,
+            active_steps=n_steps,
             loss_weight_floor=loss_weight_floor,
             noise_std=noise_std,
             noise_key=(k_noise if use_noise else None),
@@ -588,9 +619,6 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     from pigs_tpu.train.checkpoint import save_checkpoint
 
     network, params, opt, opt_state = init_training(cfg, tcfg)
-    if tcfg.epochs_per_dispatch > 1 and ns_data is not None:
-        log_fn("note: epochs_per_dispatch > 1 has no effect with an NS "
-               "dataset (per-epoch stored-initialization path)")
     key = jax.random.PRNGKey(tcfg.seed)
     current_timesteps = tcfg.initial_timesteps
     training_loss = []
@@ -634,9 +662,10 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             save_checkpoint(checkpoint_dir, epoch + 1, params, opt_state,
                             training_loss, ema_params=ema_params)
 
-    # Multi-epoch dispatch applies outside the adaptive-split regime and for
-    # randomized (non-NS-dataset) ICs; key streams match the per-epoch loop
-    # exactly, so mixing chunked and per-epoch segments is seamless.
+    # Multi-epoch dispatch: key streams match the per-epoch loop exactly, so
+    # mixing chunked and per-epoch segments is seamless.  NS datasets ride
+    # along via traced stored-initialization indices (pn_epochs_scan
+    # ns_arrays).
     n_boundary = 0 if cfg.problem == Problem.NAVIER_STOKES else (
         50 if cfg.problem == Problem.TEST else 100)
     n_max = min(39, int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1)))))
@@ -644,7 +673,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     timing_logged = 0
     while epoch < tcfg.n_epochs:
         chunk = 1
-        if tcfg.epochs_per_dispatch > 1 and ns_data is None:
+        if tcfg.epochs_per_dispatch > 1:
             chunk = min(tcfg.epochs_per_dispatch, tcfg.n_epochs - epoch)
         if chunk > 1:
             # Adaptive splitting runs inside the scan (do_split gating), so
@@ -668,7 +697,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                 ema_decay=jnp.asarray(tcfg.ema_decay or 0.0, cfg.dtype),
                 adaptive_frac=tcfg.adaptive_sampling,
                 use_split=use_split,
-                split_epoch=jnp.asarray(tcfg.split_epoch, jnp.int32))
+                split_epoch=jnp.asarray(tcfg.split_epoch, jnp.int32),
+                ns_arrays=(tuple(ns_data) if ns_data is not None else None))
             current_timesteps = int(current_ts_arr)
             totals_np = np.asarray(totals_arr)
             nsteps_np = np.asarray(nsteps_arr)

@@ -66,6 +66,34 @@ def test_ns_training_with_dataset():
     assert np.isfinite(losses).all()
 
 
+def test_ns_epochs_per_dispatch_matches_loop():
+    """NS datasets ride the multi-epoch scan: the chunked dispatch draws the
+    stored-initialization index and gathers recon targets on device, with
+    key streams matching the per-epoch host loop bit-for-bit."""
+    cfg = small_cfg(Problem.NAVIER_STOKES)
+    K, N0, res, T = 3, 30, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    data = NSDataset(
+        means=(jax.random.uniform(ks[0], (K, N0, 2)) * 2 - 1).astype(
+            jnp.float32),
+        u=jax.random.normal(ks[1], (K, N0, 2), jnp.float32) * 0.1,
+        scaling=jnp.exp(jax.random.normal(ks[2], (K, N0, 2)) * 0.2 - 3.0
+                        ).astype(jnp.float32),
+        transforms=jnp.zeros((K, N0, 1), jnp.float32),
+        frames=jax.random.normal(ks[3], (K, res, res, T), jnp.float32) * 0.1,
+    )
+    base = dict(n_epochs=4, n_samples=64, seed=0, log_step=2,
+                train_timesteps=3)
+    r1 = train(cfg, TrainConfig(**base), ns_data=data)
+    r2 = train(cfg, TrainConfig(**base, epochs_per_dispatch=2), ns_data=data)
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r1.training_loss, r2.training_loss,
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_nsdataset_recon_target_lookup():
     frames = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
     data = NSDataset(means=jnp.zeros((2, 1, 2)), u=jnp.zeros((2, 1, 2)),

@@ -12,7 +12,6 @@ Usage::
     arr = f.array                             # numpy view, no read until touch
     loader = RandomRowLoader(f, rows_per_batch=8)
     batch, idx = loader.next()                # background-thread-filled batch
-    loader.release()                          # recycle the buffer
 """
 
 from __future__ import annotations
@@ -94,7 +93,17 @@ class NpyFile:
             err = lib.pigs_npy_error(handle)
             if err:
                 lib.pigs_npy_close(handle)
-                raise OSError(f"{path}: {err.decode()}")
+                # Headers the native reader rejects (fortran_order, exotic
+                # dtypes) fall back to numpy, which handles them correctly;
+                # np.load raises its own error for genuinely bad files.
+                try:
+                    self.array = np.load(path, mmap_mode="r")
+                except Exception:
+                    raise OSError(f"{path}: {err.decode()}") from None
+                self.shape = self.array.shape
+                self.dtype = self.array.dtype
+                self.native = False
+                return
             self._lib = lib
             self._handle = handle
             ndim = lib.pigs_npy_ndim(handle)
@@ -131,7 +140,10 @@ class RandomRowLoader:
     """Background-threaded random-row batch loader over an :class:`NpyFile`.
 
     Each ``next()`` returns ``(batch, indices)`` where ``batch`` has shape
-    ``(rows_per_batch, *row_shape)``; call ``release()`` after consuming it.
+    ``(rows_per_batch, *row_shape)``.  The batch is an owned copy — the ring
+    slot is recycled before ``next()`` returns, so batches stay valid
+    indefinitely and slots can never leak.  ``release()`` is a no-op kept for
+    API compatibility.
     """
 
     def __init__(self, f: NpyFile, rows_per_batch: int, depth: int = 4,
@@ -139,7 +151,6 @@ class RandomRowLoader:
         self.f = f
         self.rows_per_batch = rows_per_batch
         self.row_shape = f.shape[1:]
-        self._slot = None
         lib = get_lib()
         if f.native and lib is not None:
             self._lib = lib
@@ -153,30 +164,30 @@ class RandomRowLoader:
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
         if self.native:
-            # Auto-release a still-held slot: without this, back-to-back
-            # next() calls would permanently leak ring slots and eventually
-            # deadlock the prefetcher.
-            self.release()
             slot = ctypes.c_int()
             ptr = self._lib.pigs_prefetch_next(self._p, self._idx_buf,
                                                ctypes.byref(slot))
             if not ptr or slot.value < 0:
                 raise RuntimeError("prefetcher stopped")
-            self._slot = slot.value
             nbytes = (self.rows_per_batch
                       * int(np.prod(self.row_shape, dtype=np.int64))
                       * self.f.dtype.itemsize)
             buf = (ctypes.c_char * nbytes).from_address(ptr)
+            # Copy out of the ring slot, then recycle it immediately: a
+            # zero-copy view would be silently overwritten once workers
+            # refill the slot, and holding slots until the caller remembers
+            # release() leaks them (the IO/shuffle work is what the ring
+            # buys; this memcpy is noise next to it).
             batch = np.frombuffer(buf, dtype=self.f.dtype).reshape(
-                (self.rows_per_batch,) + self.row_shape)
-            return batch, np.asarray(self._idx_buf[:], dtype=np.int64)
+                (self.rows_per_batch,) + self.row_shape).copy()
+            indices = np.asarray(self._idx_buf[:], dtype=np.int64)
+            self._lib.pigs_prefetch_release(self._p, slot.value)
+            return batch, indices
         idx = self._rng.integers(0, self.f.shape[0], self.rows_per_batch)
         return np.asarray(self.f.array[idx]), idx
 
     def release(self):
-        if self.native and self._slot is not None:
-            self._lib.pigs_prefetch_release(self._p, self._slot)
-            self._slot = None
+        """No-op (batches are owned copies); kept for API compatibility."""
 
     def close(self):
         if self.native and getattr(self, "_p", None):

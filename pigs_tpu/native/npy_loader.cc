@@ -132,7 +132,8 @@ struct Prefetcher {
   std::queue<int> ready;       // filled slots
   std::queue<int> free_slots;  // reusable slots
   std::mutex mu;
-  std::condition_variable cv_ready, cv_free;
+  std::condition_variable cv_ready, cv_free, cv_done;
+  int consumers = 0;  // callers inside pigs_prefetch_next (teardown guard)
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::mt19937_64 rng;
@@ -256,11 +257,17 @@ const void* pigs_prefetch_next(void* ph, long long* out_indices,
   int slot;
   {
     std::unique_lock<std::mutex> lk(p->mu);
+    // Teardown guard: destroy() waits until no consumer is inside this
+    // function before deleting the Prefetcher (the mutex/condvar a blocked
+    // consumer sits on must not be freed under it).
+    ++p->consumers;
     // Wake on stop too — a destroyed/stopping prefetcher must not deadlock a
     // consumer blocked here.
     p->cv_ready.wait(lk, [&] { return p->stop.load() || !p->ready.empty(); });
     if (p->ready.empty()) {
       *out_slot = -1;
+      --p->consumers;
+      p->cv_done.notify_all();
       return nullptr;
     }
     slot = p->ready.front();
@@ -269,7 +276,13 @@ const void* pigs_prefetch_next(void* ph, long long* out_indices,
   std::memcpy(out_indices, p->indices[slot].data(),
               sizeof(long long) * p->rows_per_batch);
   *out_slot = slot;
-  return p->buffers[slot].data();
+  const void* data = p->buffers[slot].data();
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    --p->consumers;
+  }
+  p->cv_done.notify_all();
+  return data;
 }
 
 // Return a slot obtained from pigs_prefetch_next once its buffer has been
@@ -289,6 +302,12 @@ void pigs_prefetch_destroy(void* ph) {
   p->cv_free.notify_all();
   p->cv_ready.notify_all();
   for (auto& t : p->workers) t.join();
+  {
+    // Don't free the mutex/condvars while a woken consumer is still inside
+    // pigs_prefetch_next (use-after-free on teardown).
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_done.wait(lk, [&] { return p->consumers == 0; });
+  }
   delete p;
 }
 

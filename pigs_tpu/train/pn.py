@@ -32,8 +32,7 @@ import optax
 from pigs_tpu.models.model import (Losses, ModelConfig, StepFields,
                                    adaptive_split, compute_loss, forward_step,
                                    make_initial_state, make_network,
-                                   randomize_state, randomize_state_dynamic,
-                                   sample_fields)
+                                   randomize_state_dynamic, sample_fields)
 from pigs_tpu.models.state import MixtureState, covariance_of, init_state
 from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.pde import Problem
@@ -481,7 +480,6 @@ def importance_samples(cfg: ModelConfig, key: jax.Array, n: int,
 
 
 _sample_fields_jit = jax.jit(sample_fields, static_argnames=("cfg",))
-_randomize_jit = jax.jit(randomize_state, static_argnames=("cfg", "n"))
 _randomize_dyn_jit = jax.jit(randomize_state_dynamic,
                              static_argnames=("cfg", "n_max"))
 _adaptive_split_jit = jax.jit(adaptive_split, static_argnames=("cfg",))
@@ -628,17 +626,19 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
         from pigs_tpu.train.checkpoint import restore_checkpoint
         restored = restore_checkpoint(checkpoint_dir, params, opt_state)
         if restored is not None:
+            ema_restored = None
             if len(restored) == 5:
                 (start_epoch, params, opt_state, training_loss,
                  ema_restored) = restored
-                if tcfg.ema_decay is not None:
-                    ema_params = ema_restored
             elif len(restored) == 4:
                 start_epoch, params, opt_state, training_loss = restored
             else:
                 start_epoch, params, training_loss = restored
-            if tcfg.ema_decay is not None and ema_params is None:
-                ema_params = params
+            if tcfg.ema_decay is not None:
+                # Seed the EMA from the RESTORED params when the checkpoint
+                # predates EMA tracking — never from the fresh random init.
+                ema_params = (ema_restored if ema_restored is not None
+                              else params)
             log_fn(f"Resumed from {checkpoint_dir} at epoch {start_epoch}")
     window = np.zeros(5)
     window_steps = 0
@@ -674,7 +674,13 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     while epoch < tcfg.n_epochs:
         chunk = 1
         if tcfg.epochs_per_dispatch > 1:
-            chunk = min(tcfg.epochs_per_dispatch, tcfg.n_epochs - epoch)
+            # Never straddle a save_step boundary: checkpoints can only be
+            # written at chunk-final epochs, so a chunk crossing a boundary
+            # would silently skip that save.  Misaligned configs cost at most
+            # one extra n_chunk compile (sizes repeat with period save_step).
+            to_save_boundary = tcfg.save_step - epoch % tcfg.save_step
+            chunk = min(tcfg.epochs_per_dispatch, tcfg.n_epochs - epoch,
+                        to_save_boundary)
         if chunk > 1:
             # Adaptive splitting runs inside the scan (do_split gating), so
             # split-regime epochs keep the multi-epoch dispatch.

@@ -42,6 +42,33 @@ def test_npy_open_missing_file_raises(tmp_path):
         NpyFile(str(tmp_path / "missing.npy"))
 
 
+def test_npy_fortran_order_falls_back_to_numpy(tmp_path):
+    """The native reader rejects fortran_order headers; NpyFile must fall
+    back to np.load (correct values, no silent transpose)."""
+    path = str(tmp_path / "f.npy")
+    arr = np.arange(12.0).reshape(3, 4)
+    np.save(path, np.asfortranarray(arr))
+    f = NpyFile(path)
+    assert not f.native
+    np.testing.assert_array_equal(np.asarray(f.array), arr)
+    f.close()
+
+
+def test_loader_batches_are_owned_copies(npy_path):
+    """next() returns owned copies and recycles the ring slot itself: holding
+    many batches without release() must neither deadlock (old slot leak) nor
+    corrupt earlier batches (ring-slot aliasing)."""
+    path, arr = npy_path
+    f = NpyFile(path)
+    loader = RandomRowLoader(f, rows_per_batch=4, depth=2, num_threads=2,
+                             seed=3)
+    batches = [loader.next() for _ in range(10)]  # 5x the ring depth
+    for batch, idx in batches:
+        np.testing.assert_array_equal(batch, arr[idx])
+    loader.close()
+    f.close()
+
+
 def test_random_row_loader(npy_path):
     path, arr = npy_path
     f = NpyFile(path)

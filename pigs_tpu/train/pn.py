@@ -735,12 +735,19 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
 
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
-            res: int = 64, state: Optional[MixtureState] = None):
+            res: int = 64, state: Optional[MixtureState] = None,
+            densify: bool = False):
     """Inference rollout producing field frames + wall-clock timing
     (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time).
 
     The whole rollout is one ``lax.scan`` over timesteps (render + evolve per
     step), so per-step Python dispatch never gates the device.
+
+    ``densify=True`` applies the training-time adaptive prune/split after
+    each step (static shapes; free capacity permitting) — eval-time
+    densification for models trained past ``split_epoch``.  The reference
+    evolves with ``split=False`` at eval (main_pn.py:448), so False is the
+    parity default.
     """
     if state is None:
         state = make_initial_state(cfg)
@@ -755,6 +762,8 @@ def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
                                diff_samples=False)
             frame = out.u.T.reshape(-1, res, res)
             new_state, _ = forward_step(cfg, network, params, state)
+            if densify:
+                new_state = adaptive_split(cfg, new_state, state)
             return new_state, frame
 
         _, frames = jax.lax.scan(body, state, None, length=steps)

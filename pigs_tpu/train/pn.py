@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -736,37 +736,44 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
 
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
             res: int = 64, state: Optional[MixtureState] = None,
-            densify: bool = False):
+            densify: Union[bool, int] = False):
     """Inference rollout producing field frames + wall-clock timing
     (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time).
 
     The whole rollout is one ``lax.scan`` over timesteps (render + evolve per
     step), so per-step Python dispatch never gates the device.
 
-    ``densify=True`` applies the training-time adaptive prune/split after
-    each step (static shapes; free capacity permitting) — eval-time
-    densification for models trained past ``split_epoch``.  The reference
-    evolves with ``split=False`` at eval (main_pn.py:448), so False is the
-    parity default.
+    ``densify`` applies the training-time adaptive prune/split after each
+    step (static shapes; free capacity permitting) — eval-time densification
+    for models trained past ``split_epoch``.  ``True`` densifies every step;
+    an int densifies only the first that-many steps (splitting all the way to
+    capacity saturates the padded state and degrades late steps — stopping
+    mid-rollout keeps the resolution gain without the saturation).  The
+    reference evolves with ``split=False`` at eval (main_pn.py:448), so
+    False is the parity default.
     """
     if state is None:
         state = make_initial_state(cfg)
     samples = image_samples(res, cfg.scale, cfg.dtype)
+    densify_until = n_steps if densify is True else int(densify)
 
     @partial(jax.jit, static_argnames=("steps",))
     def run(params, state, steps):
-        def body(state, _):
+        def body(state, i):
             _, conics = covariance_of(state)
             out = eval_mixture(state.means, conics, state.u, samples, order=0,
                                mask=state.interior, period=cfg.period,
                                diff_samples=False)
             frame = out.u.T.reshape(-1, res, res)
             new_state, _ = forward_step(cfg, network, params, state)
-            if densify:
-                new_state = adaptive_split(cfg, new_state, state)
+            if densify_until > 0:
+                new_state = jax.lax.cond(
+                    i < densify_until,
+                    lambda ns: adaptive_split(cfg, ns, state),
+                    lambda ns: ns, new_state)
             return new_state, frame
 
-        _, frames = jax.lax.scan(body, state, None, length=steps)
+        _, frames = jax.lax.scan(body, state, jnp.arange(steps))
         return frames
 
     # Warm-up compile outside the timed region.

@@ -17,43 +17,43 @@ def plot_gaussians(means, covariances_packed, values, scale: float = 1.0,
                    active=None):
     """Ellipse plot of a 2D mixture colored by value channel 0.
 
-    ``covariances_packed`` is ``(n, 3)`` [xx, xy, yy] packed storage.  Returns the
+    ``covariances_packed`` is ``(n, 3)`` [xx, xy, yy] packed storage.  Each
+    Gaussian is drawn as the unit circle mapped linearly by its covariance
+    matrix (the reference's visual convention, gaussians.py:13-46), realized
+    here as one vectorized eigendecomposition feeding a single
+    ``EllipseCollection`` instead of a per-patch affine loop.  Returns the
     matplotlib figure.
     """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.patches import Ellipse
-    from matplotlib.transforms import Affine2D
+    from matplotlib.collections import EllipseCollection
 
-    means = np.asarray(means)
-    values = np.asarray(values)
-    cov = np.asarray(covariances_packed)
+    means = np.asarray(means, dtype=np.float64)[..., :2]
+    values = np.asarray(values, dtype=np.float64)
+    cov = np.asarray(covariances_packed, dtype=np.float64)
     if active is not None:
         sel = np.asarray(active)
         means, values, cov = means[sel], values[sel], cov[sel]
     n = means.shape[0]
 
-    affine = np.zeros((n, 3, 3))
-    affine[:, 0, 0] = cov[:, 0]
-    affine[:, 0, 1] = cov[:, 1]
-    affine[:, 1, 0] = cov[:, 1]
-    affine[:, 1, 1] = cov[:, 2]
-    affine[:, 2, 2] = 1.0
-
-    fig = plt.figure()
-    ax = fig.gca()
-    vmin = float(values.min()) if n else 0.0
-    vmax = float(values.max()) if n else 1.0
-    cmap = matplotlib.colormaps["viridis"]
-    for i in range(n):
-        v = (values[i, 0] - vmin) / (vmax if vmax else 1.0)
-        e = Ellipse(xy=(0.0, 0.0), width=10.0, height=10.0, fc=cmap(v),
-                    alpha=0.25)
-        t = Affine2D(affine[i]).translate(*means[i, :2])
-        e.set_transform(t + ax.transData)
-        ax.add_patch(e)
-    ax.axis((-scale * 1.25, scale * 1.25, -scale * 1.25, scale * 1.25))
+    fig, ax = plt.subplots()
+    if n:
+        # Sigma = R diag(l1, l2) R^T: axis lengths are the eigenvalues (the
+        # linear-map convention: diameter 10*lambda, like the reference's
+        # width-10 unit circle under the covariance affine).
+        mats = np.empty((n, 2, 2))
+        mats[:, 0, 0], mats[:, 1, 1] = cov[:, 0], cov[:, 2]
+        mats[:, 0, 1] = mats[:, 1, 0] = cov[:, 1]
+        lam, vecs = np.linalg.eigh(mats)          # ascending eigenvalues
+        angles = np.degrees(np.arctan2(vecs[:, 1, 1], vecs[:, 0, 1]))
+        ells = EllipseCollection(10.0 * lam[:, 1], 10.0 * lam[:, 0], angles,
+                                 units="xy", offsets=means,
+                                 offset_transform=ax.transData, alpha=0.25)
+        ells.set_array(values[:, 0])
+        ax.add_collection(ells)
+    lim = 1.25 * scale
+    ax.set(xlim=(-lim, lim), ylim=(-lim, lim))
     ax.set_aspect("equal", adjustable="box")
     return fig
 

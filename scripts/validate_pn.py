@@ -68,10 +68,13 @@ def main():
                         "(0.0 = reference semantics)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rollout-steps", type=int, default=50)
-    p.add_argument("--rollout-split", action="store_true",
+    p.add_argument("--rollout-split", nargs="?", type=int, const=-1,
+                   default=None, metavar="N",
                    help="apply the training-time adaptive prune/split during "
                         "the eval rollout (eval-time densification; the "
-                        "reference evolves with split=False)")
+                        "reference evolves with split=False).  Optional N "
+                        "densifies only the first N steps — splitting to "
+                        "capacity saturation degrades late steps")
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--out", default="results_validate_pn")
     p.add_argument("--resume", action="store_true")
@@ -125,15 +128,17 @@ def main():
            f"({args.epochs} epochs, capacity {cfg.capacity})")
 
     # ---------------------------------------------------------------- rollout
+    densify = (False if args.rollout_split is None
+               else True if args.rollout_split < 0 else args.rollout_split)
     frames, evo_time = rollout(cfg, network, params,
                                n_steps=args.rollout_steps, res=args.res,
-                               densify=args.rollout_split)
+                               densify=densify)
     log_fn(f"rollout: {args.rollout_steps} steps in {evo_time*1e3:.1f} ms")
     np.save(os.path.join(args.out, "rollout_frames.npy"), frames)
 
     summary = {"problem": args.problem, "epochs": args.epochs,
                "capacity": cfg.capacity, "train_s": train_s,
-               "evo_time_s": evo_time, "rollout_split": args.rollout_split,
+               "evo_time_s": evo_time, "rollout_split": densify,
                "final_loss": losses[-1] if losses else None}
 
     if problem in (Problem.BURGERS, Problem.DIFFUSION, Problem.WAVE):

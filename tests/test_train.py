@@ -47,6 +47,14 @@ def test_rollout_densify_finite_and_grows_mixture():
     assert np.isfinite(frames).all() and np.isfinite(frames_d).all()
     # Densified rollout starts from the same state: first frames agree.
     np.testing.assert_allclose(frames_d[0], frames[0], rtol=1e-6)
+    # Step-limited densification: densify=0 is exactly the plain rollout,
+    # densify=n_steps is exactly densify=True.
+    frames_0, _ = rollout(cfg, r.network, r.params, n_steps=3, res=8,
+                          densify=0)
+    np.testing.assert_allclose(frames_0, frames, rtol=1e-6)
+    frames_3, _ = rollout(cfg, r.network, r.params, n_steps=3, res=8,
+                          densify=3)
+    np.testing.assert_allclose(frames_3, frames_d, rtol=1e-6)
 
 
 def test_rollout_metrics():

@@ -35,3 +35,20 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live executables between test modules.
+
+    With ~150 accumulated compilations in one process, jaxlib 0.9.0's XLA:CPU
+    executable (de)serialization for the persistent cache crashes
+    (SIGSEGV/SIGABRT in ``executable.serialize()`` — reproduced only past
+    ~100 prior tests; any subset passes).  Clearing jit caches per module
+    keeps the live-executable count bounded and avoids the crash; the
+    persistent on-disk cache makes the re-tracing cheap.
+    """
+    yield
+    jax.clear_caches()

@@ -786,15 +786,27 @@ def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
 
 def rollout_metrics(frames: np.ndarray, ground_truth: np.ndarray):
     """Rollout accuracy vs a stored ground-truth trajectory: per-step relative
-    L2 norm and its mean (main_pn.py:289, 400-401, 483-484)."""
+    L2 norm and its mean (main_pn.py:289, 400-401, 483-484).
+
+    Also reports the error relative to the INITIAL frame's norm
+    (``per_step_rel_initial_norm``): for decaying dynamics (diffusion) the
+    per-step denominator shrinks toward zero and the plain relative norm
+    diverges even for accurate predictions; dividing by ``||gt[0]||`` keeps
+    the scale fixed across the rollout.
+    """
     frames = np.asarray(frames)
     gt = np.asarray(ground_truth)
     n = min(frames.shape[0], gt.shape[0])
-    norms = []
+    denom0 = float(np.linalg.norm(gt[0].reshape(-1))) or 1.0
+    norms, norms0 = [], []
     for i in range(n):
         a = frames[i].reshape(-1)
         b = gt[i].reshape(-1)
+        err = float(np.linalg.norm(a - b))
         denom = np.linalg.norm(b)
-        norms.append(float(np.linalg.norm(a - b) / (denom if denom else 1.0)))
+        norms.append(err / (denom if denom else 1.0))
+        norms0.append(err / denom0)
     return {"per_step_rel_norm": norms,
-            "mean_rel_norm": float(np.mean(norms))}
+            "mean_rel_norm": float(np.mean(norms)),
+            "per_step_rel_initial_norm": norms0,
+            "mean_rel_initial_norm": float(np.mean(norms0))}

@@ -62,8 +62,17 @@ def test_rollout_metrics():
     gt = np.ones((3, 4, 4))
     m = rollout_metrics(frames, gt)
     np.testing.assert_allclose(m["per_step_rel_norm"], 1.0)
+    np.testing.assert_allclose(m["per_step_rel_initial_norm"], 1.0)
     m2 = rollout_metrics(gt, gt)
     np.testing.assert_allclose(m2["mean_rel_norm"], 0.0)
+    np.testing.assert_allclose(m2["mean_rel_initial_norm"], 0.0)
+    # Decaying GT: the per-step relative norm diverges, the initial-norm
+    # metric stays fixed-scale.
+    decay = np.stack([gt[0] * f for f in (1.0, 0.1, 0.01)])
+    m3 = rollout_metrics(np.zeros_like(decay), decay)
+    np.testing.assert_allclose(m3["per_step_rel_norm"], 1.0)
+    np.testing.assert_allclose(m3["per_step_rel_initial_norm"],
+                               [1.0, 0.1, 0.01])
 
 
 def test_ns_training_with_dataset():

@@ -28,7 +28,7 @@ from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.pde import Problem
 
 __all__ = ["NoMLPConfig", "RawParams", "init_params", "concrete",
-           "solve", "solve_timestep", "fit_initial", "densify"]
+           "solve", "solve_timestep", "densify", "draw_samples"]
 
 
 class RawParams(NamedTuple):
@@ -69,6 +69,18 @@ class NoMLPConfig(NamedTuple):
     total mixture collapse once the solution steepens (the reference's
     criterion can prune ALL Gaussians after a diverged step).  0 = reference
     semantics."""
+    active_sampling: float = 0.0
+    """Fraction of collocation samples drawn around the *active Gaussians*
+    (x = mean + inflate * sqrt(var) * z, clipped to the domain) instead of
+    uniformly over [-scale, scale]^d.  The reference samples uniformly
+    (test_no_mlp.py:85-88), which starves localized solutions: a WAVE bump
+    of variance 0.01*scale covers ~1%% of the 2D domain, so a 512-point
+    uniform draw lands ~6 points on it and the residual there is never
+    resolved.  Importance sampling reweights the residual MSE toward where
+    the field actually lives.  0 = reference semantics (uniform)."""
+    sampling_inflate: float = 3.0
+    """Std-dev inflation for ``active_sampling`` draws: covers the Gaussian's
+    support and its immediate neighborhood (where it must move next)."""
 
     @property
     def c(self) -> int:
@@ -107,6 +119,31 @@ def concrete(cfg: NoMLPConfig, params: RawParams):
     else:
         _, conics = gaussians.build_full_covariances(scaling, params.transforms)
     return means, conics, params.values
+
+
+def draw_samples(cfg: NoMLPConfig, key: jax.Array, params: RawParams,
+                 active: jax.Array) -> jax.Array:
+    """Collocation points: uniform over the domain, optionally mixed with
+    draws around the active Gaussians (see ``NoMLPConfig.active_sampling``).
+
+    Axis-aligned proposal (rotation is ignored; ``sampling_inflate`` covers
+    the slack) — this is a *sampler*, not a density; the residual loss simply
+    becomes a reweighted MSE.  Static shapes: the split point is a Python int.
+    """
+    k_u, k_idx, k_z = jax.random.split(key, 3)
+    samples = ((jax.random.uniform(k_u, (cfg.n_samples, cfg.d), cfg.dtype)
+                * 2.0 - 1.0) * cfg.scale)
+    n_act = int(round(cfg.n_samples * cfg.active_sampling))
+    if n_act == 0:
+        return samples
+    means = jax.lax.stop_gradient(jnp.tanh(params.raw_means) * cfg.scale)
+    sigma = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.exp(params.raw_scaling)) * cfg.sampling_inflate)
+    logits = jnp.where(active, 0.0, -jnp.inf)
+    idx = jax.random.categorical(k_idx, logits, shape=(n_act,))
+    z = jax.random.normal(k_z, (n_act, cfg.d), cfg.dtype)
+    pts = jnp.clip(means[idx] + sigma[idx] * z, -cfg.scale, cfg.scale)
+    return jnp.concatenate([pts, samples[n_act:]], axis=0)
 
 
 def _initial_target(cfg: NoMLPConfig, samples: jax.Array) -> jax.Array:
@@ -174,8 +211,7 @@ def _run_block(cfg: NoMLPConfig, params: RawParams, opt_state, active,
     def step(carry, key):
         params, opt_state, grad_acc = carry
         k1, k2 = jax.random.split(key)
-        samples = ((jax.random.uniform(k1, (cfg.n_samples, cfg.d), cfg.dtype)
-                    * 2.0 - 1.0) * cfg.scale)
+        samples = draw_samples(cfg, k1, params, active)
         time_samples = jax.random.uniform(k2, (cfg.n_samples,), cfg.dtype)
 
         if first_step:

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--min-keep", type=int, default=0,
                    help="pruning floor: never leave fewer than this many "
                         "active Gaussians (0 = reference semantics)")
+    p.add_argument("--active-sampling", type=float, default=0.0,
+                   help="fraction of collocation samples drawn around the "
+                        "active Gaussians (0 = reference's uniform sampling)")
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
@@ -64,7 +67,8 @@ def main():
     cfg = NoMLPConfig(problem=problem, d=2, scale=args.scale,
                       n_init=args.n_init, capacity=args.capacity,
                       n_samples=args.n_samples, dt=args.dt,
-                      max_iters=args.max_iters, min_keep=args.min_keep)
+                      max_iters=args.max_iters, min_keep=args.min_keep,
+                      active_sampling=args.active_sampling)
 
     t0 = time.time()
     traj = solve(cfg, jax.random.PRNGKey(args.seed), args.timesteps,

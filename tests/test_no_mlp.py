@@ -10,8 +10,8 @@ import numpy as np
 
 from pigs_tpu.ops.mixture import eval_mixture
 from pigs_tpu.pde import Problem
-from pigs_tpu.train.no_mlp import (NoMLPConfig, concrete, densify, init_params,
-                                   solve_timestep)
+from pigs_tpu.train.no_mlp import (NoMLPConfig, concrete, densify,
+                                   draw_samples, init_params, solve_timestep)
 import optax
 
 
@@ -132,3 +132,36 @@ def test_fit_initial_condition_2d_wave():
     out = eval_mixture(means, conics, values, center, order=0, mask=active)
     assert float(out.u[0, 1]) > 0.5        # bump in channel 1
     assert abs(float(out.u[0, 0])) < 0.3   # channel 0 suppressed
+
+
+def test_draw_samples_active_concentration():
+    """Importance sampling draws land near the active Gaussians and inside
+    the domain; active_sampling=0 reproduces plain uniform sampling."""
+    cfg = NoMLPConfig(problem=Problem.WAVE, d=2, scale=2.5, n_init=5,
+                      capacity=64, n_samples=256, active_sampling=0.5)
+    params, active = init_params(cfg)
+    key = jax.random.PRNGKey(0)
+
+    pts = draw_samples(cfg, key, params, active)
+    assert pts.shape == (256, 2)
+    assert jnp.all(jnp.abs(pts) <= cfg.scale)
+    # Active Gaussians sit within |x| <= 0.25 (tanh(arctanh(0.1*grid))*2.5);
+    # with sigma = exp(-4/2)*3 ~ 0.4 the first half must concentrate there.
+    act_half = pts[:128]
+    frac_near = jnp.mean(jnp.all(jnp.abs(act_half) < 1.5, axis=-1))
+    assert float(frac_near) > 0.95
+    # The uniform half covers the domain (mean |x| of U[-2.5,2.5] is 1.25).
+    uni_half = pts[128:]
+    assert float(jnp.mean(jnp.abs(uni_half))) > 0.9
+
+    cfg0 = cfg._replace(active_sampling=0.0)
+    uni = draw_samples(cfg0, key, params, active)
+    assert uni.shape == (256, 2)
+    assert float(jnp.mean(jnp.abs(uni))) > 0.9
+    # Inactive slots are never proposed from: mask out all but slot 0.
+    one = active & (jnp.arange(cfg.capacity) == 0)
+    pts1 = draw_samples(cfg, key, params, one)
+    mean0 = jnp.tanh(params.raw_means[0]) * cfg.scale
+    # Mean distance of the proposals from slot 0's mean is ~sigma*E|z| ~ 0.5;
+    # uniform draws over the 5x5 domain would average ~2.
+    assert float(jnp.mean(jnp.linalg.norm(pts1[:128] - mean0, axis=-1))) < 1.0

@@ -54,11 +54,15 @@ def bench_aggregation(results, n):
     dist_t = jax.random.normal(ks[5], (L, 2 * E), jnp.float32) / jnp.sqrt(E)
     means = (jax.random.uniform(ks[6], (n, d), jnp.float32) * 2.0 - 1.0)
     # Covariances sized like the trained models: ~0.1 std -> a few dozen
-    # neighbors per Gaussian at n~1600 in [-1,1]^2.
-    sig = 0.1 * jnp.ones((n,), jnp.float32)
+    # neighbors per Gaussian at n~1600 in [-1,1]^2.  Past that scale shrink
+    # sigma ~ 1/sqrt(n) (splitting halves covariances, model_pn.py:253-264),
+    # keeping the neighbor count — i.e. the mask sparsity — realistic.
+    sig_val = 0.1 * min(1.0, (1664.0 / n) ** 0.5)
+    sig = sig_val * jnp.ones((n,), jnp.float32)
     cov = jnp.einsum("n,ij->nij", sig ** 2, jnp.eye(d, dtype=jnp.float32))
     active = jnp.ones((n,), bool)
     mask = neighbor_mask(means, cov, active)
+    out = {"mean_neighbors": float(jnp.mean(jnp.sum(mask, axis=1)))}
     radii = radii_of(cov, active)
 
     def dense(f, q, k, m):
@@ -72,7 +76,6 @@ def bench_aggregation(results, n):
         return aggregate_neighbors_pallas(f, transform, q, k, freqs, dist_t,
                                           m, radii)
 
-    out = {}
     for name, fn in [("dense", dense), ("factored", factored),
                      ("pallas", pallas)]:
         fwd = jax.jit(fn)
@@ -118,18 +121,26 @@ def bench_pn(results, nx, capacity):
     results[f"pn_step_cap{cfg.capacity}_ms"] = t * 1e3
     print(f"pn_step capacity={cfg.capacity}: {t*1e3:.2f} ms", flush=True)
 
-    def epoch(params, opt_state, state, prev):
+    def epoch(params, opt_state, state, prev, act):
         return tpn.pn_epoch_scan(
             cfg, network, opt, params, opt_state, state, prev,
             samples, time_samples, bc, jnp.asarray(tcfg.lr, cfg.dtype),
             tcfg.epsilon, tcfg.dt, 30,
-            active_steps=jnp.asarray(30, jnp.int32),
+            active_steps=act,
             loss_weight_floor=jnp.zeros((), cfg.dtype))
 
-    t = timed(epoch, params, opt_state, state, prev, iters=5)
+    t = timed(epoch, params, opt_state, state, prev,
+              jnp.asarray(30, jnp.int32), iters=5)
     results[f"pn_epoch30_cap{cfg.capacity}_ms"] = t * 1e3
     print(f"pn_epoch_scan 30 steps capacity={cfg.capacity}: {t*1e3:.1f} ms",
           flush=True)
+    # Curriculum skip cost: same 30-step compile at curriculum length 1 —
+    # with the lax.cond whole-step skip this should cost ~1 step, not 30.
+    t1 = timed(epoch, params, opt_state, state, prev,
+               jnp.asarray(1, jnp.int32), iters=5)
+    results[f"pn_epoch30_act1_cap{cfg.capacity}_ms"] = t1 * 1e3
+    print(f"pn_epoch_scan 30 steps, 1 active, capacity={cfg.capacity}: "
+          f"{t1*1e3:.1f} ms", flush=True)
     return cfg, network, params
 
 
@@ -138,6 +149,9 @@ def main():
     p.add_argument("--skip-mixture", action="store_true")
     p.add_argument("--skip-agg", action="store_true")
     p.add_argument("--skip-pn", action="store_true")
+    p.add_argument("--agg-ns", default="512,1664",
+                   help="comma-separated aggregation sizes (post-split "
+                        "scales: 4096,8192)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -151,7 +165,7 @@ def main():
     results = {"backend": jax.default_backend()}
 
     if not args.skip_agg:
-        for n in (512, 1664):
+        for n in (int(s) for s in args.agg_ns.split(",")):
             bench_aggregation(results, n)
 
     if not args.skip_pn:

@@ -134,6 +134,10 @@ struct Prefetcher {
   std::mutex mu;
   std::condition_variable cv_ready, cv_free, cv_done;
   int consumers = 0;  // callers inside pigs_prefetch_next (teardown guard)
+  int out_slots = 0;  // slots handed out by next() and not yet release()d:
+                      // destroy() must not free buffers while the caller is
+                      // still reading a returned slot (the reader's memcpy
+                      // happens AFTER next() returns)
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::mt19937_64 rng;
@@ -280,6 +284,9 @@ const void* pigs_prefetch_next(void* ph, long long* out_indices,
   {
     std::lock_guard<std::mutex> lk(p->mu);
     --p->consumers;
+    // The slot stays pinned until pigs_prefetch_release — the caller reads
+    // the returned buffer after this function returns.
+    ++p->out_slots;
   }
   p->cv_done.notify_all();
   return data;
@@ -292,8 +299,10 @@ void pigs_prefetch_release(void* ph, int slot) {
   {
     std::lock_guard<std::mutex> lk(p->mu);
     p->free_slots.push(slot);
+    if (p->out_slots > 0) --p->out_slots;
   }
   p->cv_free.notify_one();
+  p->cv_done.notify_all();
 }
 
 void pigs_prefetch_destroy(void* ph) {
@@ -304,9 +313,11 @@ void pigs_prefetch_destroy(void* ph) {
   for (auto& t : p->workers) t.join();
   {
     // Don't free the mutex/condvars while a woken consumer is still inside
-    // pigs_prefetch_next (use-after-free on teardown).
+    // pigs_prefetch_next, nor the ring buffers while a returned slot is
+    // still being read (next()'s caller memcpys after it returns; every
+    // next() must be paired with release() before destroy()).
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_done.wait(lk, [&] { return p->consumers == 0; });
+    p->cv_done.wait(lk, [&] { return p->consumers == 0 && p->out_slots == 0; });
   }
   delete p;
 }

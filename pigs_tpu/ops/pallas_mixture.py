@@ -567,7 +567,14 @@ def _bwd_op(order, period, diff_samples, primals, fields_bar):
     second-order differentiation, the reference's create_graph=True,
     test_derivatives.py:122-129) differentiates the dense oracle's vjp of the
     same mapping instead — exact, plain XLA AD, used only when grad-of-grad
-    is actually requested."""
+    is actually requested.
+
+    Memory: the dense double-backward materializes O(m*n) pairwise
+    intermediates (tens of arrays), so beyond
+    ``SECOND_ORDER_PAIR_BUDGET`` sample-Gaussian pairs the vjp is computed
+    in sample chunks under ``lax.map`` (exact — the second-order cotangents
+    are sums of per-sample contributions).  At the headline 65536x2048 this
+    caps the working set at ~1 GB instead of ~0.5 TB."""
     means, conics_full, values, samples = primals
     m, c = samples.shape[0], values.shape[1]
     cots = _pack_cotangents(fields_bar, m, c, order)
@@ -602,12 +609,51 @@ def _bwd_op_fwd(order, period, diff_samples, primals, fields_bar):
     return out, (primals, fields_bar)
 
 
+# Max sample-Gaussian pairs one dense second-order vjp block may
+# materialize (~30 (m,n)-sized f32 intermediates -> ~1 GB at this budget).
+SECOND_ORDER_PAIR_BUDGET = 1 << 23
+
+
 def _bwd_op_bwd(order, period, diff_samples, res, grad_out):
     primals, fields_bar = res
-    _, vjp2 = jax.vjp(
-        lambda p, fb: _bwd_op_ref(order, period, diff_samples, p, fb),
-        primals, fields_bar)
-    return vjp2(grad_out)
+    means, conics_full, values, samples = primals
+    m, n = samples.shape[0], means.shape[0]
+
+    def full(p, fb):
+        return _bwd_op_ref(order, period, diff_samples, p, fb)
+
+    if m * n <= SECOND_ORDER_PAIR_BUDGET:
+        _, vjp2 = jax.vjp(full, primals, fields_bar)
+        return vjp2(grad_out)
+
+    # Chunk over samples: (gm, gc, gv) are sums of per-sample contributions
+    # and gx is per-sample, so the vjp splits exactly across sample chunks —
+    # shared primal cotangents sum, per-sample cotangents concatenate.
+    chunk = max(SECOND_ORDER_PAIR_BUDGET // n, 1)
+    k = -(-m // chunk)
+    pad = k * chunk - m
+
+    def split_rows(x):
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape((k, chunk) + x.shape[1:])
+
+    gm_bar, gc_bar, gv_bar, gx_bar = grad_out
+
+    def chunk_fn(xs):
+        samples_c, fb_c, gxb_c = xs
+        _, vjp2 = jax.vjp(full, (means, conics_full, values, samples_c), fb_c)
+        return vjp2((gm_bar, gc_bar, gv_bar, gxb_c))
+
+    (mb, cb, vb, sb), fbb = jax.lax.map(
+        chunk_fn, (split_rows(samples),
+                   jax.tree_util.tree_map(split_rows, fields_bar),
+                   split_rows(gx_bar)))
+
+    def unsplit_rows(x):
+        return x.reshape((-1,) + x.shape[2:])[:m]
+
+    return ((mb.sum(0), cb.sum(0), vb.sum(0), unsplit_rows(sb)),
+            jax.tree_util.tree_map(unsplit_rows, fbb))
 
 
 _bwd_op.defvjp(_bwd_op_fwd, _bwd_op_bwd)

@@ -4,12 +4,26 @@
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["RestoredCheckpoint", "save_checkpoint", "restore_checkpoint",
+           "latest_step"]
+
+
+class RestoredCheckpoint(NamedTuple):
+    """Fixed-arity restore result (ADVICE r2: the previous 3-/4-/5-tuple
+    return broke positional unpacking as soon as a checkpoint carried EMA
+    parameters).  ``opt_state``/``ema_params`` are None when the checkpoint
+    (or the caller's template) does not include them."""
+
+    step: int
+    params: Any
+    training_loss: list
+    opt_state: Any = None
+    ema_params: Any = None
 
 
 def _manager(directory: str) -> ocp.CheckpointManager:
@@ -47,14 +61,15 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(directory: str, params_template: Any,
-                       opt_state_template: Any = None):
-    """Restore the latest checkpoint.
+                       opt_state_template: Any = None
+                       ) -> Optional[RestoredCheckpoint]:
+    """Restore the latest checkpoint as a :class:`RestoredCheckpoint`
+    (None if the directory holds no checkpoint).
 
-    Returns ``(step, params, training_loss)`` or, when an optimizer-state
-    template is given and the checkpoint carries one,
-    ``(step, params, opt_state, training_loss)`` (the reference restores the
-    optimizer too, main_pn.py:66-73).  When the checkpoint additionally
-    carries EMA parameters, they are appended as a final tuple element."""
+    ``opt_state`` is restored only when a template is given AND the
+    checkpoint carries one (the reference restores the optimizer too,
+    main_pn.py:66-73); ``ema_params`` only when the checkpoint carries them.
+    Absent fields are None — callers never need arity checks."""
     with _manager(directory) as mgr:
         step = mgr.latest_step()
         if step is None:
@@ -68,15 +83,13 @@ def restore_checkpoint(directory: str, params_template: Any,
             os.path.join(root, str(step), "opt_state")))
         if has_opt:
             args["opt_state"] = ocp.args.StandardRestore(opt_state_template)
-        # EMA params ride along only in the full (with-optimizer) restore —
-        # appending them to the 3-tuple form would make it ambiguous with the
-        # 4-tuple (step, params, opt_state, loss) form.
-        has_ema = has_opt and os.path.isdir(
-            os.path.join(root, str(step), "ema_params"))
+        has_ema = os.path.isdir(os.path.join(root, str(step), "ema_params"))
         if has_ema:
             args["ema_params"] = ocp.args.StandardRestore(params_template)
         out = mgr.restore(step, args=ocp.args.Composite(**args))
-        loss = list(np.asarray(out["training_loss"]))
-        parts = ((step, out["params"], out["opt_state"], loss) if has_opt
-                 else (step, out["params"], loss))
-        return parts + (out["ema_params"],) if has_ema else parts
+        return RestoredCheckpoint(
+            step=step,
+            params=out["params"],
+            training_loss=list(np.asarray(out["training_loss"])),
+            opt_state=out["opt_state"] if has_opt else None,
+            ema_params=out["ema_params"] if has_ema else None)

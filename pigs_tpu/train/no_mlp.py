@@ -61,6 +61,16 @@ class NoMLPConfig(NamedTuple):
     tol: float = 1e-4
     init_raw_scaling: float = -4.0
     dtype: jnp.dtype = jnp.float32
+    warm_up_blocks: int = 0
+    """Blocks (of ``block_iters`` each) to run before densification may fire
+    within a timestep.  The reference gates densification on
+    ``(j+1)//densification_step > warm_up`` with warm_up=100 periods of 301
+    iterations (test_no_mlp.py:30-32,188) — i.e. >30,100 iterations, which its
+    5,000-iteration cap never reaches, so the reference's 2D runs never
+    actually prune or split.  Round-2's committed 2D runs densified every 3
+    blocks from iteration 0 and annihilated the mixture (VERDICT r2 item 1);
+    this knob restores the reference's effective behavior while keeping
+    densification available for longer solves."""
     min_keep: int = 0
     """If > 0, pruning never leaves fewer than this many active Gaussians:
     when the reference keep-criterion (||v|| > 0.01 and sum(var) < 0.5,
@@ -81,6 +91,14 @@ class NoMLPConfig(NamedTuple):
     sampling_inflate: float = 3.0
     """Std-dev inflation for ``active_sampling`` draws: covers the Gaussian's
     support and its immediate neighborhood (where it must move next)."""
+    lr_min: Optional[float] = None
+    """If set, cosine-decay the Adam learning rate from ``lr`` to ``lr_min``
+    over each timestep's ``max_iters`` iterations.  At fixed lr the
+    stochastic residual loss plateaus at Adam's noise floor — parameter
+    jitter ~lr feeds ``ut = du/dt`` amplified by 1/dt, so small-dt solves
+    can never reach ``tol``.  The reference experimented with exactly this
+    (commented-out lr adaptation, test_no_mlp.py:178-183); None = reference
+    semantics (constant lr)."""
 
     @property
     def c(self) -> int:
@@ -122,15 +140,24 @@ def concrete(cfg: NoMLPConfig, params: RawParams):
 
 
 def draw_samples(cfg: NoMLPConfig, key: jax.Array, params: RawParams,
-                 active: jax.Array) -> jax.Array:
+                 active: jax.Array, first_step: bool = False) -> jax.Array:
     """Collocation points: uniform over the domain, optionally mixed with
     draws around the active Gaussians (see ``NoMLPConfig.active_sampling``).
+
+    For the WAVE IC fit the reference concentrates samples near the bump —
+    ``(randn/2).clamp(-1,1) * scale`` (test_no_mlp.py:85-86) — because the
+    d=2 wave IC has variance ``0.01*scale`` and uniform draws would land ~3
+    of 1024 points on it; that path is reproduced here.
 
     Axis-aligned proposal (rotation is ignored; ``sampling_inflate`` covers
     the slack) — this is a *sampler*, not a density; the residual loss simply
     becomes a reweighted MSE.  Static shapes: the split point is a Python int.
     """
     k_u, k_idx, k_z = jax.random.split(key, 3)
+    if first_step and cfg.problem == Problem.WAVE and cfg.d == 2:
+        return jnp.clip(
+            jax.random.normal(k_u, (cfg.n_samples, cfg.d), cfg.dtype) / 2.0,
+            -1.0, 1.0) * cfg.scale
     samples = ((jax.random.uniform(k_u, (cfg.n_samples, cfg.d), cfg.dtype)
                 * 2.0 - 1.0) * cfg.scale)
     n_act = int(round(cfg.n_samples * cfg.active_sampling))
@@ -201,17 +228,28 @@ def _loss_fn(cfg: NoMLPConfig, params: RawParams, active, prev, samples,
     return _pde_residual_loss(cfg, u, ux, uxx, ut)
 
 
+def _make_opt(cfg: NoMLPConfig):
+    """Adam, optionally with an in-step cosine lr schedule (lr -> lr_min over
+    max_iters; the schedule state's count is the iteration index because the
+    optimizer is re-init'ed per timestep)."""
+    if cfg.lr_min is None:
+        return optax.adam(cfg.lr)
+    sched = optax.cosine_decay_schedule(cfg.lr, cfg.max_iters,
+                                        alpha=cfg.lr_min / cfg.lr)
+    return optax.adam(sched)
+
+
 @partial(jax.jit, static_argnames=("cfg", "first_step"))
 def _run_block(cfg: NoMLPConfig, params: RawParams, opt_state, active,
                prev_mixture, key, first_step: bool):
     """One jitted block of Adam iterations; returns accumulated grad stats for
     densification (test_no_mlp.py:149-155)."""
-    opt = optax.adam(cfg.lr)
+    opt = _make_opt(cfg)
 
     def step(carry, key):
         params, opt_state, grad_acc = carry
         k1, k2 = jax.random.split(key)
-        samples = draw_samples(cfg, k1, params, active)
+        samples = draw_samples(cfg, k1, params, active, first_step=first_step)
         time_samples = jax.random.uniform(k2, (cfg.n_samples,), cfg.dtype)
 
         if first_step:
@@ -304,25 +342,47 @@ def densify(cfg: NoMLPConfig, params: RawParams, opt_state, active,
 def solve_timestep(cfg: NoMLPConfig, params: RawParams, active,
                    prev_mixture, key, first_step: bool,
                    densify_every: Optional[int] = None):
-    """Optimize one timestep to convergence (inner loop of SURVEY.md §3.3)."""
-    opt = optax.adam(cfg.lr)
+    """Optimize one timestep to convergence (inner loop of SURVEY.md §3.3).
+
+    Convergence mirrors the reference (test_no_mlp.py:84,157-163): block
+    losses (means over ``block_iters`` iterations) feed a 5-block window;
+    the IC fit (``first_step``) runs until the window's relative std drops
+    below 0.1 (plateau — the IC loss floor is representation-limited, not
+    zero), dynamics steps until the window *mean* drops below ``tol``; both
+    cap at ``max_iters`` iterations.  Densification additionally waits out
+    ``cfg.warm_up_blocks`` (see NoMLPConfig).
+    """
+    opt = _make_opt(cfg)
     opt_state = opt.init(params)
     mean_grad_acc = jnp.zeros_like(params.raw_means)
     it = 0
     block = 0
-    loss = np.inf
-    while it < cfg.max_iters and loss > cfg.tol:
+    block_losses = []
+
+    def converged() -> bool:
+        window = block_losses[-5:]
+        if first_step:
+            if len(window) < 2:
+                return False
+            mean = float(np.mean(window))
+            rel_std = float(np.std(window, ddof=1)) / mean if mean else 0.0
+            return not np.isnan(rel_std) and rel_std <= 0.1
+        return bool(window) and float(np.mean(window)) <= cfg.tol
+
+    while it < cfg.max_iters and not converged():
         key, sub = jax.random.split(key)
         params, opt_state, grad_acc, loss_b = _run_block(
             cfg, params, opt_state, active, prev_mixture, sub, first_step)
         mean_grad_acc = mean_grad_acc + grad_acc.raw_means / cfg.block_iters
-        loss = float(loss_b)
+        block_losses.append(float(loss_b))
         it += cfg.block_iters
         block += 1
-        if densify_every and block % densify_every == 0 and not first_step:
+        if (densify_every and block % densify_every == 0
+                and block > cfg.warm_up_blocks and not first_step):
             params, opt_state, active = densify(cfg, params, opt_state, active,
                                                 mean_grad_acc)
             mean_grad_acc = jnp.zeros_like(params.raw_means)
+    loss = float(np.mean(block_losses[-5:])) if block_losses else np.inf
     return params, active, loss
 
 

@@ -227,6 +227,11 @@ def solve_ns_2d(w0: jax.Array, scale: float, dt: float, steps: int,
         # band k in (res_out/2, res/3] back onto low wavenumbers).
         if not 0 < res_out < res:
             raise ValueError(f"res_out {res_out} must be in (0, {res})")
+        if res_out % 2:
+            # [:h] + [-h:] below keeps 2h rows; an odd res_out would silently
+            # produce a (res_out-1)-size grid (the Nyquist row has no
+            # unambiguous coarse-grid counterpart).
+            raise ValueError(f"res_out must be even, got {res_out}")
         h = res_out // 2
         hat = jnp.fft.fft2(out) * (res_out / res) ** 2
         rows = jnp.concatenate([hat[:, :h], hat[:, -h:]], axis=1)

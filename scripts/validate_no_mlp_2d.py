@@ -36,12 +36,35 @@ def main():
     p.add_argument("--densify-every", type=int, default=3,
                    help="densify every N blocks (test_no_mlp.py "
                         "densification_step = 3*log_step+1); 0 = off")
+    p.add_argument("--warm-up-blocks", type=int, default=300,
+                   help="blocks before densification may fire within a "
+                        "timestep.  Default 300 = the reference's "
+                        "warm_up=100 densification periods "
+                        "(test_no_mlp.py:30-32,188), which its 5000-iter "
+                        "cap never reaches — i.e. reference semantics = "
+                        "no densification in practice")
     p.add_argument("--min-keep", type=int, default=0,
                    help="pruning floor: never leave fewer than this many "
                         "active Gaussians (0 = reference semantics)")
     p.add_argument("--active-sampling", type=float, default=0.0,
                    help="fraction of collocation samples drawn around the "
                         "active Gaussians (0 = reference's uniform sampling)")
+    p.add_argument("--lr-min", type=float, default=None,
+                   help="cosine-decay the per-step Adam lr from 1e-2 to this "
+                        "over max_iters (None = reference's constant lr; see "
+                        "NoMLPConfig.lr_min)")
+    p.add_argument("--init-raw-scaling", type=float, default=-5.0,
+                   help="initial log-variance (test_no_mlp.py:42 uses -5.0 "
+                        "for d=2; the 1D reference uses -4.0)")
+    p.add_argument("--pad-domain", type=float, default=1.0,
+                   help="run the FD ground truth on a domain this many times "
+                        "wider than [-scale, scale]^2 and compare on the "
+                        "central crop.  The mixture solve is free-space (no "
+                        "boundary condition); the FD solver's Dirichlet walls "
+                        "reflect outgoing waves back in, which invalidates "
+                        "the comparison once the front reaches the boundary "
+                        "(WAVE: speed sqrt(10), hits the wall by t~0.8).  "
+                        ">1 pads the GT so the crop stays reflection-free")
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
@@ -68,6 +91,9 @@ def main():
                       n_init=args.n_init, capacity=args.capacity,
                       n_samples=args.n_samples, dt=args.dt,
                       max_iters=args.max_iters, min_keep=args.min_keep,
+                      warm_up_blocks=args.warm_up_blocks,
+                      init_raw_scaling=args.init_raw_scaling,
+                      lr_min=args.lr_min,
                       active_sampling=args.active_sampling)
 
     t0 = time.time()
@@ -75,9 +101,11 @@ def main():
                  densify_every=args.densify_every or None)
     solve_s = time.time() - t0
 
-    # Render every timestep on an res x res grid (axis 0 = x, matching FD).
-    res = args.res
-    xs = grid_samples(res, 2, cfg.scale)
+    # Render every timestep on a (possibly padded) grid (axis 0 = x, like FD).
+    pad = args.pad_domain
+    res = int(round(args.res * pad))
+    wide = cfg.scale * pad
+    xs = grid_samples(res, 2, wide)
     fields, losses, counts = [], [], []
     c = cfg.c
     for snap in traj:
@@ -91,15 +119,18 @@ def main():
 
     gt = np.asarray(solve_fd_2d(jnp.asarray(fields[0].squeeze(-1)
                                             if c == 1 else fields[0]),
-                                cfg.scale, cfg.dt, args.timesteps - 1,
+                                wide, cfg.dt, args.timesteps - 1,
                                 problem=args.problem, nu=cfg.nu))
     if c == 1:
         gt = gt[..., None]
 
+    # Compare on the central [-scale, scale]^2 crop (all of it when pad=1).
+    coords = np.linspace(-1.0, 1.0, res) * wide
+    sel = np.abs(coords) <= cfg.scale + 1e-6
     rel = []
     for i in range(args.timesteps):
-        a = fields[i].reshape(-1)
-        b = gt[i].reshape(-1)
+        a = fields[i][np.ix_(sel, sel)].reshape(-1)
+        b = gt[i][np.ix_(sel, sel)].reshape(-1)
         denom = np.linalg.norm(b)
         rel.append(float(np.linalg.norm(a - b) / (denom if denom else 1.0)))
 
@@ -107,6 +138,7 @@ def main():
     np.save(os.path.join(out_dir, "fd_gt.npy"), gt)
     summary = {"problem": args.problem, "timesteps": args.timesteps,
                "dt": args.dt, "solve_s": solve_s,
+               "args": {k: v for k, v in vars(args).items() if k != "out"},
                "per_step_rel_l2": rel, "max_rel_l2": max(rel),
                "mean_rel_l2": float(np.mean(rel)),
                "per_step_loss": losses, "active_counts": counts}

@@ -173,22 +173,24 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     save_checkpoint(d, 7, params, opt_state, history)
     assert latest_step(d) == 7
 
-    # With an opt_state template: 4-tuple, everything matches.
+    # With an opt_state template: opt_state restored, everything matches.
     like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-    step, p2, os2, h2 = restore_checkpoint(d, like(params), like(opt_state))
-    assert step == 7 and h2 == history
+    r = restore_checkpoint(d, like(params), like(opt_state))
+    assert r.step == 7 and r.training_loss == history
+    assert r.ema_params is None
     for a, b in zip(jax.tree_util.tree_leaves(params),
-                    jax.tree_util.tree_leaves(p2)):
+                    jax.tree_util.tree_leaves(r.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree_util.tree_leaves(opt_state),
-                    jax.tree_util.tree_leaves(os2)):
+                    jax.tree_util.tree_leaves(r.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # Without a template: 3-tuple (legacy path).
-    step, p3, h3 = restore_checkpoint(d, like(params))
-    assert step == 7 and h3 == history
+    # Without a template: opt_state stays None.
+    r3 = restore_checkpoint(d, like(params))
+    assert r3.step == 7 and r3.training_loss == history
+    assert r3.opt_state is None and r3.ema_params is None
     for a, b in zip(jax.tree_util.tree_leaves(params),
-                    jax.tree_util.tree_leaves(p3)):
+                    jax.tree_util.tree_leaves(r3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -237,8 +239,9 @@ def test_epochs_per_dispatch_matches_loop():
 
 
 def test_ema_checkpoint_roundtrip(tmp_path):
-    """EMA params ride along in checkpoints and come back in the 5-tuple
-    restore form."""
+    """EMA params ride along in checkpoints and come back in
+    RestoredCheckpoint.ema_params — including on a template-less restore
+    (the variable-arity failure mode ADVICE r2 flagged)."""
     import optax
     from pigs_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -250,13 +253,17 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     save_checkpoint(d, 3, params, opt_state, [1.0], ema_params=ema)
 
     like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
-    restored = restore_checkpoint(d, like(params), like(opt_state))
-    assert len(restored) == 5
-    step, p2, _, h2, ema2 = restored
-    assert step == 3 and h2 == [1.0]
-    np.testing.assert_array_equal(np.asarray(ema2["w"]),
+    r = restore_checkpoint(d, like(params), like(opt_state))
+    assert r.step == 3 and r.training_loss == [1.0]
+    np.testing.assert_array_equal(np.asarray(r.ema_params["w"]),
                                   np.asarray(ema["w"]))
-    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(r.params["w"]),
+                                  np.asarray(params["w"]))
+    # Template-less restore still surfaces the EMA (no arity ambiguity).
+    r2 = restore_checkpoint(d, like(params))
+    assert r2.opt_state is None
+    np.testing.assert_array_equal(np.asarray(r2.ema_params["w"]),
+                                  np.asarray(ema["w"]))
 
 
 def test_scan_epoch_matches_loop():

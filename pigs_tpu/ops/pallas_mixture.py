@@ -249,9 +249,18 @@ def _gauss_spec(rows, tile_n):
                    static_argnames=("order", "period", "tile_m", "tile_n"))
 def _pallas_forward(means, conics_packed, values, samples,
                     order: int, period: Optional[float],
-                    tile_m: int = DEFAULT_TILE_M, tile_n: int = DEFAULT_TILE_N):
+                    tile_m: Optional[int] = None,
+                    tile_n: int = DEFAULT_TILE_N):
     m = samples.shape[0]
     c = values.shape[1]
+    if tile_m is None:
+        # Scoped-VMEM headroom: the kernel's live set scales with
+        # c*(order+1) output/scratch columns per sample row.  At c=2,
+        # order=3 (the NS third-derivative path) the default 1024x512 tiles
+        # sit exactly at the 16 MiB scoped limit, and any extra stack — e.g.
+        # the lax.cond wrapping curriculum-gated steps in pn_epoch_scan —
+        # OOMs the *compile*.  Halve the sample tile for wide-output configs.
+        tile_m = DEFAULT_TILE_M // 2 if c * (order + 1) >= 8 else DEFAULT_TILE_M
     f32 = jnp.float32
     smp, mt, ct, vt = _prep(means, conics_packed, values, samples,
                             tile_m, tile_n)

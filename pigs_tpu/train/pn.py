@@ -129,6 +129,19 @@ class TrainConfig(NamedTuple):
     PDE-residual work where the field is steep (RAR-style adaptive
     refinement; the reference samples uniformly, main_pn.py:103).
     0.0 = reference semantics."""
+    clip_norm: Optional[float] = None
+    """If set, clip gradients to this global norm before Adam.  The
+    reference never clips, but its NS configuration can spike the PDE
+    residual by 3-4 orders of magnitude mid-curriculum (third derivatives of
+    freshly-split thin Gaussians); one unclipped spike NaN-poisons the
+    parameters permanently — the loss filter (main_pn.py:183-192) then
+    reports exactly 0.0 forever.  None = reference semantics."""
+    skip_nonfinite_updates: bool = False
+    """If True, skip the optimizer update entirely (parameters AND moments)
+    for steps whose gradients contain NaN/Inf.  Complements the reference's
+    loss-component filtering, which only sanitizes the *reported* loss —
+    non-finite gradients still reach Adam there.  False = reference
+    semantics."""
     epochs_per_dispatch: int = 1
     """Batch this many whole epochs (IC randomization, curriculum gating,
     optimizer updates, EMA) into ONE device dispatch via a nested
@@ -168,7 +181,16 @@ def init_training(cfg: ModelConfig, tcfg: TrainConfig):
         dummy["u"], dummy["boundaries"], dummy["sample_u"], dummy["sample_ux"],
         dummy["sample_uxx"], dummy["sample_pde"], dummy["active"], dummy["nbr"],
         cfg.period)
-    opt = optax.inject_hyperparams(optax.adam)(learning_rate=tcfg.lr)
+    if tcfg.clip_norm is None:
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=tcfg.lr)
+    else:
+        clip = tcfg.clip_norm
+
+        def clipped_adam(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(clip),
+                               optax.adam(learning_rate))
+
+        opt = optax.inject_hyperparams(clipped_adam)(learning_rate=tcfg.lr)
     opt_state = opt.init(params)
     return network, params, opt, opt_state
 
@@ -186,7 +208,7 @@ def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
                   loss_weight, base_lr, epsilon, t, dt,
                   recon_target=None, recon_weight=5.0,
                   initial_fields=None, initial_gate=None,
-                  loss_weight_floor=0.0):
+                  loss_weight_floor=0.0, skip_nonfinite: bool = False):
     """One dynamics timestep + one optimizer update (main_pn.py:171-232).
 
     ``recon_target`` (m,) adds the NS vorticity-reconstruction loss
@@ -216,8 +238,20 @@ def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
         loss_fn, has_aux=True)(params)
 
     opt_state.hyperparams["learning_rate"] = base_lr * loss_weight
-    updates, opt_state = opt.update(grads, opt_state)
-    params = optax.apply_updates(params, updates)
+    updates, new_opt_state = opt.update(grads, opt_state)
+    new_params = optax.apply_updates(params, updates)
+    if skip_nonfinite:
+        finite = jnp.array(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+
+        new_params = sel(new_params, params)
+        new_opt_state = sel(new_opt_state, opt_state)
+    params, opt_state = new_params, new_opt_state
 
     new_loss_weight = jnp.maximum(loss_weight * jnp.exp(-epsilon * total),
                                   loss_weight_floor)
@@ -233,19 +267,19 @@ def _pn_step_core(cfg: ModelConfig, network, opt, params, opt_state,
     return params, opt_state, new_state, curr, losses, total, new_loss_weight
 
 
-pn_step = partial(jax.jit, static_argnames=("cfg", "network", "opt"))(
-    _pn_step_core)
+pn_step = partial(jax.jit, static_argnames=("cfg", "network", "opt",
+                                            "skip_nonfinite"))(_pn_step_core)
 
 
 @partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_steps",
-                                   "recon_weight"))
+                                   "recon_weight", "skip_nonfinite"))
 def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
                   state: MixtureState, prev_fields: StepFields,
                   samples, time_samples, bc_samples, base_lr, epsilon, dt,
                   n_steps: int, recon_targets=None, recon_weight: float = 5.0,
                   active_steps=None, initial_fields=None,
                   loss_weight_floor=0.0, noise_std=0.0, noise_key=None,
-                  do_split=None):
+                  do_split=None, skip_nonfinite: bool = False):
     """All timesteps of one epoch as a single ``lax.scan`` — one dispatch per
     epoch instead of one per timestep (VERDICT r1 item 7; the reference's
     inner loop, main_pn.py:171-232).
@@ -294,7 +328,8 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
             recon_target=recon, recon_weight=recon_weight,
             initial_fields=initial_fields,
             initial_gate=(i == 0).astype(cfg.dtype),
-            loss_weight_floor=loss_weight_floor)
+            loss_weight_floor=loss_weight_floor,
+            skip_nonfinite=skip_nonfinite)
         (n_params, n_opt_state, n_state, n_prev, losses, total,
          n_loss_weight) = new
         step_out = jnp.stack([losses.pde, losses.bc, losses.conservation,
@@ -350,7 +385,8 @@ def pn_epoch_scan(cfg: ModelConfig, network, opt, params, opt_state,
 @partial(jax.jit, static_argnames=("cfg", "network", "opt", "n_chunk",
                                    "n_samples", "n_max", "use_ema",
                                    "use_noise", "train_timesteps",
-                                   "adaptive_frac", "use_split"))
+                                   "adaptive_frac", "use_split",
+                                   "skip_nonfinite"))
 def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                    ema_params, key, epochs, base_lrs, current_timesteps,
                    n_chunk: int, n_samples: int, n_max: int, use_ema: bool,
@@ -358,7 +394,7 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
                    epsilon, dt, bootstrap_rate, loss_weight_floor,
                    noise_std, ema_decay, adaptive_frac: float = 0.0,
                    use_split: bool = False, split_epoch=None,
-                   ns_arrays=None):
+                   ns_arrays=None, skip_nonfinite: bool = False):
     """``n_chunk`` whole epochs as ONE dispatch: a ``lax.scan`` over epochs
     wrapping :func:`pn_epoch_scan`'s scan over timesteps.
 
@@ -430,7 +466,8 @@ def pn_epochs_scan(cfg: ModelConfig, network, opt, params, opt_state,
             loss_weight_floor=loss_weight_floor,
             noise_std=noise_std,
             noise_key=(k_noise if use_noise else None),
-            do_split=((epoch > split_epoch) if use_split else None))
+            do_split=((epoch > split_epoch) if use_split else None),
+            skip_nonfinite=skip_nonfinite)
         totals = per_step[:, :5].sum(axis=0)
         all_sufficient = jnp.all(per_step[:, 5] < 1.0)
         current_ts = jnp.where(
@@ -553,7 +590,8 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
             loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor, cfg.dtype),
             noise_std=jnp.asarray(tcfg.noise_std, cfg.dtype),
             noise_key=(k_noise if tcfg.noise_std > 0 else None),
-            do_split=(jnp.asarray(True) if do_split else None))
+            do_split=(jnp.asarray(True) if do_split else None),
+            skip_nonfinite=tcfg.skip_nonfinite_updates)
         per_step = np.asarray(per_step)[:n_steps]
     else:
         step_losses = []
@@ -569,7 +607,8 @@ def train_epoch(cfg: ModelConfig, tcfg: TrainConfig, network, opt,
                 jnp.asarray(tcfg.base_lr_at(epoch), cfg.dtype), tcfg.epsilon,
                 jnp.asarray(t, cfg.dtype), tcfg.dt, recon_target=recon,
                 loss_weight_floor=jnp.asarray(tcfg.loss_weight_floor,
-                                              cfg.dtype))
+                                              cfg.dtype),
+                skip_nonfinite=tcfg.skip_nonfinite_updates)
             # Adaptive prune/split once past the split epoch (the reference's
             # model.forward(..., split=epoch > split_epoch), main_pn.py:180).
             state = _adaptive_split_jit(cfg, state, state_before)
@@ -701,7 +740,8 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
                 adaptive_frac=tcfg.adaptive_sampling,
                 use_split=use_split,
                 split_epoch=jnp.asarray(tcfg.split_epoch, jnp.int32),
-                ns_arrays=(tuple(ns_data) if ns_data is not None else None))
+                ns_arrays=(tuple(ns_data) if ns_data is not None else None),
+                skip_nonfinite=tcfg.skip_nonfinite_updates)
             current_timesteps = int(current_ts_arr)
             totals_np = np.asarray(totals_arr)
             nsteps_np = np.asarray(nsteps_arr)

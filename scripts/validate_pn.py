@@ -66,6 +66,12 @@ def main():
     p.add_argument("--noise-std", type=float, default=0.0,
                    help="robustness noise on interior u per training step "
                         "(0.0 = reference semantics)")
+    p.add_argument("--clip-norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = reference "
+                        "semantics, no clipping)")
+    p.add_argument("--skip-nonfinite", action="store_true",
+                   help="skip optimizer updates whose gradients contain "
+                        "NaN/Inf (off = reference semantics)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--rollout-steps", type=int, default=50)
     p.add_argument("--rollout-split", nargs="?", type=int, const=-1,
@@ -105,6 +111,8 @@ def main():
                        loss_weight_floor=args.loss_weight_floor,
                        ema_decay=args.ema_decay, noise_std=args.noise_std,
                        adaptive_sampling=args.adaptive_sampling,
+                       clip_norm=args.clip_norm or None,
+                       skip_nonfinite_updates=args.skip_nonfinite,
                        epochs_per_dispatch=args.epochs_per_dispatch)
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "train.log")

@@ -119,15 +119,21 @@ def _concrete(cfg: FitConfig, params: RawParams):
 
 
 def _render(cfg: FitConfig, params, active, samples):
+    """``cfg.periodic`` fits must also EVALUATE on the torus (period 2, the
+    reference's GaussianSampler(True) for NS, main_pn.py:58): wrapping only
+    the raw means while evaluating free-space trains a mixture that scores
+    ~7x worse once the NS pipeline evaluates it periodically (round-3 NS
+    validation: t=0 vorticity rel-L2 0.467 periodic vs 0.068 free-space)."""
     means, conics, values = _concrete(cfg, params)
+    period = 2.0 if cfg.periodic else None
     if cfg.curl:
         out = eval_mixture(means, conics, values, samples, order=1,
-                           mask=active, diff_samples=False)
+                           mask=active, diff_samples=False, period=period)
         img = out.ux[:, 0, 1] - out.ux[:, 1, 0]
         div = out.ux[:, 0, 0] + out.ux[:, 1, 1]
         return img, div
     out = eval_mixture(means, conics, values, samples, order=0, mask=active,
-                       diff_samples=False)
+                       diff_samples=False, period=period)
     return out.u[:, 0], None
 
 

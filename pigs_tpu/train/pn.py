@@ -840,9 +840,11 @@ def rollout_metrics(frames: np.ndarray, ground_truth: np.ndarray):
         a = frames[i].reshape(-1)
         b = gt[i].reshape(-1)
         err = float(np.linalg.norm(a - b))
-        denom = np.linalg.norm(b)
-        norms.append(err / (denom if denom else 1.0))
-        norms0.append(err / denom0)
+        denom = float(np.linalg.norm(b))
+        # float() casts: NumPy-2 weak promotion makes err/np.float32 a
+        # np.float32, which json.dump refuses to serialize.
+        norms.append(float(err / (denom if denom else 1.0)))
+        norms0.append(float(err / denom0))
     return {"per_step_rel_norm": norms,
             "mean_rel_norm": float(np.mean(norms)),
             "per_step_rel_initial_norm": norms0,

@@ -1,5 +1,17 @@
 """Fused Pallas TPU kernel for attention-based neighbor aggregation.
 
+STATUS — reference implementation, off the default path.  The factored
+(angle-addition) formulation in ``pigs_tpu.ops.aggregate`` beats this kernel at
+every measured scale, including post-split capacities with realistic sparse
+masks (round-4 measurement, BENCHMARKS.md "Fused neighbor aggregation"):
+at n=4096 (≈400 neighbors/Gaussian) factored fwd+bwd is 4.5 ms vs 10.5 ms for
+this kernel's forward alone, and this kernel's backward fails to compile at
+n≥4096 (VMEM).  ``DynamicsNetwork`` therefore hardcodes the factored path;
+this kernel is kept as a tested second implementation of the same semantics
+(useful as a cross-check and as the template for mask-sparse workloads where
+an O(n·L)-traffic streaming kernel could win if the factored path's O(n·E·L)
+matmuls ever dominate).
+
 The dense path (``pigs_tpu.ops.aggregate``) materializes O(n^2 * 2E) positional
 embeddings and O(n^2 * L) gates in HBM — at n=1600 that is ~0.7 GB of traffic
 per head and ~6 ms on v5e.  This kernel tiles the query-Gaussian axis, keeps the

@@ -121,6 +121,16 @@ class TrainConfig(NamedTuple):
     state.  Trains the dynamics to damp its own rollout error instead of
     compounding it — the standard robustness trick for autoregressive
     simulators.  0.0 = reference semantics."""
+    abort_on_poisoned: bool = True
+    """Stop training once the parameters are NaN-poisoned.  The reference's
+    only NaN handling filters nonfinite per-step losses out of the total
+    (main_pn.py:183-192), so a poisoned run keeps dispatching full epochs
+    whose every loss term reports exactly 0.0 — forever (measured: the first
+    ns4096 Burgers run at reference semantics burned 15k dead epochs, ~25 min
+    of chip).  All five loss terms being exactly 0.0 cannot happen in a live
+    run (the attention-magnitude term is positive for any finite network), so
+    three consecutive such epochs abort with a loud log line.  False restores
+    reference semantics.  Recovery knobs: clip_norm / skip_nonfinite_updates."""
     adaptive_sampling: float = 0.0
     """Fraction of collocation points drawn by gradient-magnitude importance
     sampling instead of uniformly: candidates are oversampled 4x uniform, and
@@ -707,6 +717,22 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     n_max = min(39, int(np.floor(np.sqrt(max(cfg.capacity - n_boundary, 1)))))
     epoch = start_epoch
     timing_logged = 0
+    poisoned_streak = 0
+
+    def note_poisoned(totals):
+        # All five loss terms exactly 0.0 only happens when the NaN filter
+        # zeroed every step (see TrainConfig.abort_on_poisoned).
+        nonlocal poisoned_streak
+        poisoned_streak = (poisoned_streak + 1
+                           if bool(np.all(np.asarray(totals) == 0.0)) else 0)
+        if poisoned_streak >= 3 and tcfg.abort_on_poisoned:
+            log_fn(f"ABORT at epoch {epoch}: every loss term filtered to 0.0 "
+                   f"for {poisoned_streak} consecutive epochs — parameters "
+                   "are NaN-poisoned and cannot recover (consider clip_norm /"
+                   " skip_nonfinite_updates)")
+            return True
+        return False
+
     while epoch < tcfg.n_epochs:
         chunk = 1
         if tcfg.epochs_per_dispatch > 1:
@@ -745,15 +771,19 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             current_timesteps = int(current_ts_arr)
             totals_np = np.asarray(totals_arr)
             nsteps_np = np.asarray(nsteps_arr)
+            abort = False
             for i in range(chunk):
                 finish_epoch(epoch + i, totals_np[i], nsteps_np[i],
                              allow_ckpt=(i == chunk - 1))
+                abort = note_poisoned(totals_np[i]) or abort
             if timing_logged < 3:
                 log_fn(f"[timing] epochs {epoch}..{epoch + chunk - 1}: "
                        f"{time.time() - epoch_t0:.1f} s")
                 epoch_t0 = time.time()
                 timing_logged += 1
             epoch += chunk
+            if abort:
+                break
             continue
         key, sub = jax.random.split(key)
         params, opt_state, totals, current_timesteps, n_steps = train_epoch(
@@ -768,14 +798,21 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             timing_logged += 1
         finish_epoch(epoch, totals, n_steps)
         epoch += 1
+        if note_poisoned(totals):
+            break
     return TrainResult(network, params, opt_state, training_loss, ema_params)
 
 
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
             res: int = 64, state: Optional[MixtureState] = None,
-            densify: Union[bool, int] = False):
+            densify: Union[bool, int] = False, dt: float = 0.0):
     """Inference rollout producing field frames + wall-clock timing
     (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time).
+
+    ``dt`` threads physical time into ``forward_step`` (t = i*dt at step i,
+    matching training, pn_step's ``t`` argument).  Only time-dependent
+    problems consume it (POISSON's forcing, pde.py); the default 0.0 is
+    bit-identical to the historical behavior for all autonomous problems.
 
     The whole rollout is one ``lax.scan`` over timesteps (render + evolve per
     step), so per-step Python dispatch never gates the device.
@@ -802,7 +839,8 @@ def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
                                mask=state.interior, period=cfg.period,
                                diff_samples=False)
             frame = out.u.T.reshape(-1, res, res)
-            new_state, _ = forward_step(cfg, network, params, state)
+            new_state, _ = forward_step(cfg, network, params, state,
+                                        t=i.astype(cfg.dtype) * dt)
             if densify_until > 0:
                 new_state = jax.lax.cond(
                     i < densify_until,

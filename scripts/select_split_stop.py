@@ -75,7 +75,14 @@ def main():
     # BENCHMARKS.md's repro recipe uses).
     with tempfile.TemporaryDirectory() as td:
         shutil.copytree(args.ckpt, os.path.join(td, "30000"))
-        params = restore_checkpoint(td, params).params
+        restored = restore_checkpoint(td, params)
+        # Roll out with the same parameters the validation run evaluated:
+        # the EMA shadow when the checkpoint carries one (validate_pn.py).
+        if restored.ema_params is not None:
+            print("using EMA params", flush=True)
+            params = restored.ema_params
+        else:
+            params = restored.params
     print(f"restored {args.ckpt}", flush=True)
 
     stops = [int(s) for s in args.stops.split(",")]

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--problem", default="burgers",
-                   choices=["burgers", "diffusion", "wave", "test"])
+                   choices=["burgers", "diffusion", "wave", "poisson", "test"])
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--nx", type=int, default=20)
     p.add_argument("--capacity", type=int, default=None)
@@ -140,7 +140,7 @@ def main():
                else True if args.rollout_split < 0 else args.rollout_split)
     frames, evo_time = rollout(cfg, network, params,
                                n_steps=args.rollout_steps, res=args.res,
-                               densify=densify)
+                               densify=densify, dt=args.dt)
     log_fn(f"rollout: {args.rollout_steps} steps in {evo_time*1e3:.1f} ms")
     np.save(os.path.join(args.out, "rollout_frames.npy"), frames)
 
@@ -182,6 +182,36 @@ def main():
         log_fn("per-step rel-L2 vs FD: "
                + " ".join(f"{v:.3f}" for v in m["per_step_rel_norm"]))
         log_fn(f"mean rel-L2 vs FD: {m['mean_rel_norm']:.4f}")
+    elif problem == Problem.POISSON:
+        # Analytic ground truth: the POISSON residual (pde.py; the reference's
+        # branch crashes on an undefined `t`, model_pn.py:620-621) enforces
+        # u_xx = 100*t*sin(pi*(x+1)) with u -> 0 on the boundary band; the
+        # unique solution is u*(x,y,t) = -(100*t/pi^2)*sin(pi*(x+1)).
+        # Frame k (state after k steps) is pulled by the TRAPEZOID rule toward
+        # the forcing of BOTH adjacent step intervals (t=(k-1)*dt and k*dt),
+        # so the midpoint time (k-1/2)*dt is the aligned target; the k*dt
+        # score is recorded alongside.
+        tx = np.linspace(-1.0, 1.0, args.res) * cfg.scale
+        profile = np.sin(np.pi * (tx + 1.0))[None, :]      # constant in y
+
+        def gt_at(times):
+            amp = -(100.0 * np.asarray(times) / np.pi ** 2)
+            return amp[:, None, None] * profile[None]       # (T, res, res)
+
+        steps = np.arange(args.rollout_steps)
+        gt_mid = gt_at(np.maximum(steps - 0.5, 0.0) * tcfg.dt)
+        gt_end = gt_at(steps * tcfg.dt)
+        np.save(os.path.join(args.out, "fd_gt_frames.npy"), gt_mid)
+        # Step 0 is the all-zero IC on both sides; score from step 1.
+        m = rollout_metrics(frames[1:, 0], gt_mid[1:])
+        m_end = rollout_metrics(frames[1:, 0], gt_end[1:])
+        summary.update(m)
+        summary["mean_rel_norm_t_end"] = m_end["mean_rel_norm"]
+        summary["per_step_rel_norm_t_end"] = m_end["per_step_rel_norm"]
+        log_fn("per-step rel-L2 vs analytic (midpoint time): "
+               + " ".join(f"{v:.3f}" for v in m["per_step_rel_norm"]))
+        log_fn(f"mean rel-L2 vs analytic: {m['mean_rel_norm']:.4f} "
+               f"(t=k*dt alignment: {m_end['mean_rel_norm']:.4f})")
     else:  # TEST: analytic motion law dy = u/5 per step.
         from functools import partial
         from pigs_tpu.models.model import forward_step

@@ -57,6 +57,66 @@ def test_rollout_densify_finite_and_grows_mixture():
     np.testing.assert_allclose(frames_3, frames_d, rtol=1e-6)
 
 
+def test_abort_on_poisoned_params(tmp_path):
+    """A NaN-poisoned run aborts after 3 consecutive all-zero-loss epochs
+    instead of dispatching dead epochs to the end of the schedule (the
+    reference's filter-only NaN handling loops forever, main_pn.py:183-192)."""
+    from pigs_tpu.train.checkpoint import save_checkpoint
+    from pigs_tpu.train.pn import init_training
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(n_epochs=1, n_samples=64, log_step=1, seed=0,
+                       train_timesteps=2)
+    _, params, _, opt_state = init_training(cfg, tcfg)
+    bad = jax.tree_util.tree_map(lambda x: jnp.full_like(x, jnp.nan), params)
+    ckpt = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt, 1, bad, opt_state, [1.0])
+
+    logs = []
+    tcfg2 = tcfg._replace(n_epochs=20)
+    r = train(cfg, tcfg2, checkpoint_dir=ckpt, resume=True,
+              log_fn=logs.append)
+    assert any("ABORT" in str(l) for l in logs)
+    # Aborted well before the schedule's end (3-epoch streak + resume point).
+    assert len(r.training_loss) <= 6
+
+    # Opt-out restores reference semantics: all 20 epochs run.
+    logs3 = []
+    r3 = train(cfg, tcfg2._replace(abort_on_poisoned=False),
+               checkpoint_dir=ckpt, resume=True, log_fn=logs3.append)
+    assert not any("ABORT" in str(l) for l in logs3)
+    assert len(r3.training_loss) >= 19
+
+
+def test_poisson_training_and_time_threaded_rollout():
+    """POISSON end-to-end smoke: training runs finitely, and rollout(dt=...)
+    threads physical time into forward_step — the POISSON pde feature is
+    t-dependent (pde.py; the reference's branch crashes on an undefined t,
+    model_pn.py:620-621), so frames must differ between dt=0 and dt>0, while
+    an autonomous problem's frames must be bit-identical."""
+    # POISSON uses 100 boundary Gaussians (vs TEST's 50): needs more capacity.
+    cfg = ModelConfig.create(Problem.POISSON, IntegrationRule.TRAPEZOID,
+                             nx=6, ny=6, d=2, scale=1.0, capacity=160)
+    tcfg = TrainConfig(n_epochs=2, n_samples=64, log_step=1, seed=0,
+                       train_timesteps=2, dt=0.1)
+    r = train(cfg, tcfg)
+    assert np.isfinite(np.asarray(r.training_loss)).all()
+    frames_t, _ = rollout(cfg, r.network, r.params, n_steps=3, res=8, dt=0.1)
+    frames_0, _ = rollout(cfg, r.network, r.params, n_steps=3, res=8, dt=0.0)
+    assert np.isfinite(frames_t).all()
+    # Frame 0 is rendered before any step at t=0: identical either way.
+    np.testing.assert_allclose(frames_t[0], frames_0[0], rtol=1e-6)
+    # Later frames see different pde features (t = i*dt): they must diverge.
+    assert not np.allclose(frames_t[2], frames_0[2])
+
+    # Autonomous problem (TEST): dt threading is a no-op, bit-identical.
+    cfg2 = small_cfg(Problem.TEST)
+    r2 = train(cfg2, tcfg)
+    a, _ = rollout(cfg2, r2.network, r2.params, n_steps=3, res=8, dt=0.1)
+    b, _ = rollout(cfg2, r2.network, r2.params, n_steps=3, res=8, dt=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rollout_metrics():
     frames = np.zeros((3, 4, 4))
     gt = np.ones((3, 4, 4))

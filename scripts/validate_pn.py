@@ -52,6 +52,10 @@ def main():
                    help="curriculum horizon (reference: 30, main_pn.py:94); "
                         "training to the full rollout length (e.g. 50) "
                         "suppresses late-step drift")
+    p.add_argument("--split-epoch", type=int, default=10000,
+                   help="epoch after which training-time adaptive prune/split "
+                        "engages (main_pn.py:180; reference default 10000); "
+                        "set >= --epochs to disable")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="if set (e.g. 0.999), keep an EMA of the params and "
                         "roll out with it")
@@ -109,6 +113,7 @@ def main():
                        lr_min=args.lr_min,
                        train_timesteps=args.train_timesteps,
                        loss_weight_floor=args.loss_weight_floor,
+                       split_epoch=args.split_epoch,
                        ema_decay=args.ema_decay, noise_std=args.noise_std,
                        adaptive_sampling=args.adaptive_sampling,
                        clip_norm=args.clip_norm or None,

@@ -197,7 +197,8 @@ def main():
         # so the midpoint time (k-1/2)*dt is the aligned target; the k*dt
         # score is recorded alongside.
         tx = np.linspace(-1.0, 1.0, args.res) * cfg.scale
-        profile = np.sin(np.pi * (tx + 1.0))[None, :]      # constant in y
+        # gt[row, col] = f(x_col): constant along rows (image_samples layout).
+        profile = np.tile(np.sin(np.pi * (tx + 1.0))[None, :], (args.res, 1))
 
         def gt_at(times):
             amp = -(100.0 * np.asarray(times) / np.pi ** 2)

@@ -719,14 +719,16 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
     timing_logged = 0
     poisoned_streak = 0
 
-    def note_poisoned(totals):
+    def note_poisoned(ep, totals):
         # All five loss terms exactly 0.0 only happens when the NaN filter
-        # zeroed every step (see TrainConfig.abort_on_poisoned).
+        # zeroed every step (see TrainConfig.abort_on_poisoned).  ``ep`` is
+        # the epoch whose totals these are (the chunked path calls this once
+        # per epoch inside the chunk).
         nonlocal poisoned_streak
         poisoned_streak = (poisoned_streak + 1
                            if bool(np.all(np.asarray(totals) == 0.0)) else 0)
         if poisoned_streak >= 3 and tcfg.abort_on_poisoned:
-            log_fn(f"ABORT at epoch {epoch}: every loss term filtered to 0.0 "
+            log_fn(f"ABORT at epoch {ep}: every loss term filtered to 0.0 "
                    f"for {poisoned_streak} consecutive epochs — parameters "
                    "are NaN-poisoned and cannot recover (consider clip_norm /"
                    " skip_nonfinite_updates)")
@@ -775,7 +777,7 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             for i in range(chunk):
                 finish_epoch(epoch + i, totals_np[i], nsteps_np[i],
                              allow_ckpt=(i == chunk - 1))
-                abort = note_poisoned(totals_np[i]) or abort
+                abort = note_poisoned(epoch + i, totals_np[i]) or abort
             if timing_logged < 3:
                 log_fn(f"[timing] epochs {epoch}..{epoch + chunk - 1}: "
                        f"{time.time() - epoch_t0:.1f} s")
@@ -797,15 +799,15 @@ def train(cfg: ModelConfig, tcfg: TrainConfig,
             epoch_t0 = time.time()
             timing_logged += 1
         finish_epoch(epoch, totals, n_steps)
-        epoch += 1
-        if note_poisoned(totals):
+        if note_poisoned(epoch, totals):
             break
+        epoch += 1
     return TrainResult(network, params, opt_state, training_loss, ema_params)
 
 
 def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
             res: int = 64, state: Optional[MixtureState] = None,
-            densify: Union[bool, int] = False, dt: float = 0.0):
+            densify: Union[bool, int] = False, dt: Optional[float] = None):
     """Inference rollout producing field frames + wall-clock timing
     (main_pn.py:279-484).  Returns (frames (n_steps, c, res, res), evo_time).
 
@@ -826,6 +828,17 @@ def rollout(cfg: ModelConfig, network, params, n_steps: int = 50,
     reference evolves with ``split=False`` at eval (main_pn.py:448), so
     False is the parity default.
     """
+    if dt is None:
+        # POISSON's forcing is ~t (pde.py); a caller that forgets dt would
+        # silently evaluate with frozen t=0 (zero forcing) and score garbage.
+        # Autonomous problems keep the historical bit-identical default; an
+        # EXPLICIT dt=0.0 stays legal everywhere (tests use it to prove the
+        # threading matters).
+        if cfg.problem == Problem.POISSON:
+            raise ValueError("rollout(dt=...) is required for POISSON: its "
+                             "forcing is time-dependent and the implicit "
+                             "default would freeze t=0")
+        dt = 0.0
     if state is None:
         state = make_initial_state(cfg)
     samples = image_samples(res, cfg.scale, cfg.dtype)

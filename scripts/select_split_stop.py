@@ -90,7 +90,8 @@ def main():
     def score(state, stop):
         frames, _ = rollout(cfg, network, params,
                             n_steps=args.rollout_steps, res=args.res,
-                            state=state, densify=stop if stop else False)
+                            state=state, densify=stop if stop else False,
+                            dt=args.dt)
         f0 = frames[0, 0]
         u0_fd = jnp.asarray(np.flipud(f0).T)
         gt = np.asarray(solve_fd_2d(u0_fd, cfg.scale, args.dt,

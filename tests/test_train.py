@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pigs_tpu.models.model import ModelConfig
 from pigs_tpu.pde import IntegrationRule, Problem
@@ -108,6 +109,11 @@ def test_poisson_training_and_time_threaded_rollout():
     np.testing.assert_allclose(frames_t[0], frames_0[0], rtol=1e-6)
     # Later frames see different pde features (t = i*dt): they must diverge.
     assert not np.allclose(frames_t[2], frames_0[2])
+
+    # Omitting dt for the time-dependent problem must fail loudly rather
+    # than silently freezing the forcing at t=0 (round-4 advisor finding).
+    with pytest.raises(ValueError, match="POISSON"):
+        rollout(cfg, r.network, r.params, n_steps=3, res=8)
 
     # Autonomous problem (TEST): dt threading is a no-op, bit-identical.
     cfg2 = small_cfg(Problem.TEST)

@@ -69,6 +69,15 @@ class ModelConfig(NamedTuple):
     width_mult: int = 1           # network width multiplier (1 = reference
                                   # sizes, model_pn.py:44-49; >1 is an opt-in
                                   # capacity knob this framework adds)
+    split_criteria: str = "value"  # adaptive prune/split metric family:
+                                  # "value" = the reference's Burgers-tuned
+                                  # criteria (|u|>0.01 prune, value-space
+                                  # time-derivative split, model_pn.py:700-764);
+                                  # "vorticity" = NS-native criteria (prune on
+                                  # closed-form peak vorticity contribution,
+                                  # split on rendered vorticity
+                                  # time-derivative) — this framework's
+                                  # addition, d=2/c=2 only
 
     @property
     def channels(self) -> int:
@@ -89,7 +98,8 @@ class ModelConfig(NamedTuple):
                rule: IntegrationRule = IntegrationRule.TRAPEZOID,
                nx: int = 20, ny: int = 20, d: int = 2, scale: float = 1.0,
                capacity: Optional[int] = None,
-               dtype=jnp.float32, width_mult: int = 1) -> "ModelConfig":
+               dtype=jnp.float32, width_mult: int = 1,
+               split_criteria: str = "value") -> "ModelConfig":
         if capacity is None:
             # Must cover the training-time domain-randomized ICs: the grid
             # edge is sampled in [15, 40) (main_pn.py:153), i.e. up to 39^2
@@ -101,7 +111,8 @@ class ModelConfig(NamedTuple):
                            scale=scale, capacity=capacity,
                            weights=LossWeights.default(problem),
                            coeff=PDECoefficients.default(problem), dtype=dtype,
-                           width_mult=width_mult)
+                           width_mult=width_mult,
+                           split_criteria=split_criteria)
 
 
 def make_network(cfg: ModelConfig) -> DynamicsNetwork:
@@ -168,7 +179,11 @@ def _interior_grid(cfg: ModelConfig, n: int):
         for i in range(-2, 3):
             for j in range(-2, 3):
                 idx.append((n // 2 + i) * n + n // 2 + j)
-        u = u.at[jnp.asarray(idx)].set(0.2)
+        # Channel 1 stores psi/s (PDECoefficients.wave_psi_scale; s=1.0
+        # reproduces the reference's same-bump-in-both-channels IC,
+        # model_pn.py:365-369).
+        amp = jnp.asarray([0.2, 0.2 / cfg.coeff.wave_psi_scale], dt)
+        u = u.at[jnp.asarray(idx)].set(amp)
     else:  # NAVIER_STOKES / POISSON / TEST interior defaults
         u = jnp.zeros((n * n, c), dt)
     return means, scaling, transforms, u
@@ -286,7 +301,8 @@ def grid_state_dynamic(cfg: ModelConfig, n: jax.Array,
         u = jnp.tile((jnp.exp(power) / 3.0)[:, None], (1, c))
     elif cfg.problem == Problem.WAVE:
         center = (jnp.abs(gi - n // 2) <= 2) & (jnp.abs(gj - n // 2) <= 2)
-        u = jnp.where(center[:, None], jnp.asarray(0.2, dt),
+        amp = jnp.asarray([0.2, 0.2 / cfg.coeff.wave_psi_scale], dt)
+        u = jnp.where(center[:, None], amp[None, :],
                       jnp.zeros((n_max * n_max, c), dt))
     else:
         u = jnp.zeros((n_max * n_max, c), dt)
@@ -425,30 +441,89 @@ def forward_step(
     return new_state, deltas
 
 
-def adaptive_split(cfg: ModelConfig, state: MixtureState,
-                   prev_state: MixtureState,
-                   quantile: float = 0.98) -> MixtureState:
-    """Prune weak Gaussians and split the fastest-changing ones
-    (model_pn.py:700-764): prune ``|u| < 0.01``; split where the density-weighted
-    squared time-derivative exceeds its 98th percentile."""
-    keep = jnp.linalg.norm(jnp.abs(state.u), axis=-1) > 0.01
-    state = prune(state, keep)
-
-    _, conics = covariance_of(state)
-    u_now = eval_mixture(state.means, conics, state.u, state.means, order=0,
-                         mask=state.active, period=cfg.period).u
+def _density_rank(cfg: ModelConfig, state: MixtureState, conics):
+    """Reference density weighting: rank-normalized mixture density at the
+    means, inverted so sparse regions weigh more (model_pn.py:735-744)."""
     ones = jnp.ones((state.capacity, 1), cfg.dtype)
     density = eval_mixture(state.means, conics, ones, state.means, order=0,
                            mask=state.active, period=cfg.period).u
     act = state.active[:, None]
     d_min = jnp.min(jnp.where(act, density, jnp.inf))
     d_max = jnp.max(jnp.where(act, density, -jnp.inf))
-    density = 1.0 - (density - d_min) / jnp.maximum(d_max, 1e-30)
+    return 1.0 - (density - d_min) / jnp.maximum(d_max, 1e-30)
+
+
+def peak_vorticity_contribution(conics, u):
+    """Closed-form peak |curl| of each Gaussian's own velocity term.
+
+    For one term u_i * g_i(x), g_i(x) = exp(-1/2 (x-mu)^T A (x-mu)):
+    w_i(x) = curl(u_i g_i) = c^T A (x-mu) * g_i with c = (u_y, -u_x), whose
+    maximum over x is  e^{-1/2} * sqrt(c^T A c)  (substitute y = A^{1/2}x;
+    |a^T y| e^{-|y|^2/2} peaks at |y|=1).  ``conics`` full ``(n, 2, 2)``
+    (the :func:`covariance_of` convention).
+    """
+    cx, cy = u[:, 1], -u[:, 0]
+    quad = (conics[:, 0, 0] * cx * cx + 2.0 * conics[:, 0, 1] * cx * cy
+            + conics[:, 1, 1] * cy * cy)
+    return jnp.exp(-0.5) * jnp.sqrt(jnp.maximum(quad, 0.0))
+
+
+def adaptive_split(cfg: ModelConfig, state: MixtureState,
+                   prev_state: MixtureState,
+                   quantile: float = 0.98) -> MixtureState:
+    """Prune weak Gaussians and split the fastest-changing ones.
+
+    ``cfg.split_criteria == "value"`` (default, the reference's Burgers-tuned
+    criteria, model_pn.py:700-764): prune ``|u| < 0.01``; split where the
+    density-weighted squared VALUE time-derivative exceeds its 98th
+    percentile.
+
+    ``cfg.split_criteria == "vorticity"`` (NS-native, this framework's
+    round-5 addition; d=2/c=2 velocity fields only): the reference criteria
+    act on raw velocity values, but NS dynamics live in vorticity — a
+    Gaussian with large |u| can contribute nothing to w (uniform translation)
+    and vice versa.  Prune Gaussians whose closed-form peak vorticity
+    contribution is < 1% of the strongest active one (scale-invariant analog
+    of the absolute |u|>0.01 gate); split where the density-weighted squared
+    VORTICITY time-derivative (rendered w = du_y/dx - du_x/dy at the means)
+    exceeds its 98th percentile.
+    """
+    if cfg.split_criteria not in ("value", "vorticity"):
+        raise ValueError(f"unknown split_criteria {cfg.split_criteria!r}")
+    if cfg.split_criteria == "vorticity" and (cfg.d != 2 or cfg.channels != 2):
+        raise ValueError("split_criteria='vorticity' needs a d=2 two-channel "
+                         "velocity field (NS); got "
+                         f"d={cfg.d}, c={cfg.channels}")
+    _, conics0 = covariance_of(state)
+    if cfg.split_criteria == "vorticity":
+        p = peak_vorticity_contribution(conics0, state.u)
+        p_max = jnp.max(jnp.where(state.active, p, -jnp.inf))
+        keep = p > 0.01 * p_max
+    else:
+        keep = jnp.linalg.norm(jnp.abs(state.u), axis=-1) > 0.01
+    state = prune(state, keep)
+
+    _, conics = covariance_of(state)
     _, prev_conics = covariance_of(prev_state)
-    u_prev = eval_mixture(prev_state.means, prev_conics, prev_state.u,
-                          state.means, order=0, mask=prev_state.active,
-                          period=cfg.period).u
-    metric = ((u_now - u_prev) ** 2) * density
+    density = _density_rank(cfg, state, conics)
+    if cfg.split_criteria == "vorticity":
+        now = eval_mixture(state.means, conics, state.u, state.means, order=1,
+                           mask=state.active, period=cfg.period,
+                           diff_samples=False)
+        prev = eval_mixture(prev_state.means, prev_conics, prev_state.u,
+                            state.means, order=1, mask=prev_state.active,
+                            diff_samples=False, period=cfg.period)
+        w_now = now.ux[:, 0, 1] - now.ux[:, 1, 0]
+        w_prev = prev.ux[:, 0, 1] - prev.ux[:, 1, 0]
+        metric = ((w_now - w_prev) ** 2)[:, None] * density
+    else:
+        u_now = eval_mixture(state.means, conics, state.u, state.means,
+                             order=0, mask=state.active,
+                             period=cfg.period).u
+        u_prev = eval_mixture(prev_state.means, prev_conics, prev_state.u,
+                              state.means, order=0, mask=prev_state.active,
+                              period=cfg.period).u
+        metric = ((u_now - u_prev) ** 2) * density
     metric = jax.lax.stop_gradient(metric)
 
     flat = jnp.where(state.interior[:, None], metric, jnp.nan)

@@ -41,6 +41,13 @@ class PDECoefficients(NamedTuple):
     """Physical constants per problem (model_pn.py:333-336)."""
 
     nu: float = 0.0
+    wave_psi_scale: float = 1.0  # opt-in (phi, psi/s) basis for WAVE: the
+                                 # state's channel 1 stores psi/s so both
+                                 # channels stay O(bump amplitude) — the GT's
+                                 # psi amplifies to omega*|phi| (omega =
+                                 # sqrt(10)*k ~ 30 for the reference bump,
+                                 # BENCHMARKS.md wave analysis).  1.0 =
+                                 # reference semantics (raw psi).
 
     @staticmethod
     def default(problem: Problem) -> "PDECoefficients":
@@ -90,10 +97,15 @@ def pde_rhs(
         return (100.0 * t * jnp.sin(jnp.pi * (x + 1.0)))[:, None] - uxx[:, 0, 0]
 
     if problem == Problem.WAVE:
+        # In the (phi, psi/s) basis (s = coeff.wave_psi_scale, 1.0 =
+        # reference semantics): phi_t = psi = s*u1; (psi/s)_t =
+        # (10*lap(phi) - 0.1*psi)/s = (10/s)*lap(phi) - 0.1*u1.
+        s = coeff.wave_psi_scale
         return jnp.stack(
             (
-                u[..., 1],
-                10.0 * (uxx[..., 0, 0, 0] + uxx[..., 1, 1, 0]) - 0.1 * u[..., 1],
+                s * u[..., 1],
+                (10.0 / s) * (uxx[..., 0, 0, 0] + uxx[..., 1, 1, 0])
+                - 0.1 * u[..., 1],
             ),
             axis=-1,
         )

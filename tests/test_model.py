@@ -191,3 +191,110 @@ def test_width_mult_scales_parameters():
     # inactive slots stay gated to zero
     inactive = ~np.asarray(state.active)
     assert np.abs(np.asarray(deltas.dmeans)[inactive]).max() == 0.0
+
+
+def test_peak_vorticity_contribution_closed_form():
+    """The closed-form peak |curl| of a single Gaussian velocity term must
+    match a brute-force grid maximization of |curl(u g(x))|."""
+    from pigs_tpu.models.model import peak_vorticity_contribution
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        M = rng.normal(size=(2, 2))
+        An = M @ M.T + 2.0 * np.eye(2)        # PD conic, O(1) eigenvalues
+        u = rng.normal(size=(1, 2))
+        p = float(peak_vorticity_contribution(jnp.asarray(An)[None],
+                                              jnp.asarray(u))[0])
+
+        # Brute force on a fine grid centered at the mean.
+        lin = np.linspace(-3.0, 3.0, 1201)
+        X, Y = np.meshgrid(lin, lin, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel()], -1)       # (M, 2)
+        g = np.exp(-0.5 * np.einsum("mi,ij,mj->m", pts, An, pts))
+        # curl(u g) = (u_y d/dx - u_x d/dy) g = -(c^T A x) g, c=(u_y,-u_x)
+        c = np.array([u[0, 1], -u[0, 0]])
+        w = -(pts @ An @ c) * g
+        p_grid = np.abs(w).max()
+        np.testing.assert_allclose(p, p_grid, rtol=2e-3)
+
+
+def test_adaptive_split_vorticity_criteria():
+    """NS-native criteria: runs under jit with static shapes, prunes the
+    low-vorticity-contribution Gaussian, and splits high-dw/dt ones."""
+    from functools import partial
+
+    cfg = small_cfg(Problem.NAVIER_STOKES, capacity=128)
+    cfg = cfg._replace(split_criteria="vorticity")
+    network, params, opt, opt_state = init_training(cfg, TrainConfig(seed=0))
+    state = make_initial_state(cfg)
+    # Nonzero rotational field; make one interior Gaussian's velocity tiny so
+    # its peak vorticity contribution is < 1% of the strongest.
+    key = jax.random.PRNGKey(3)
+    u = 0.5 * jax.random.normal(key, state.u.shape, state.u.dtype)
+    idx = int(np.flatnonzero(np.asarray(state.interior))[0])
+    u = u.at[idx].set(1e-5)
+    state = state._replace(u=u * state.active[:, None])
+    new_state, _ = forward_step(cfg, network, params, state)
+
+    split_state = jax.jit(partial(adaptive_split, cfg))(new_state, state)
+    assert np.isfinite(np.asarray(split_state.means)).all()
+    assert int(active_count(split_state)) <= cfg.capacity
+    # Shapes stay padded/static.
+    assert split_state.means.shape == state.means.shape
+
+    # The reference value criteria and the vorticity criteria disagree on
+    # SOMETHING for a generic rotational field (different prune/split sets).
+    cfg_val = cfg._replace(split_criteria="value")
+    split_val = jax.jit(partial(adaptive_split, cfg_val))(new_state, state)
+    assert (int(active_count(split_state)) != int(active_count(split_val))
+            or not np.allclose(np.asarray(split_state.means),
+                               np.asarray(split_val.means)))
+
+
+def test_adaptive_split_vorticity_rejects_scalar_problems():
+    cfg = small_cfg(Problem.BURGERS)._replace(split_criteria="vorticity")
+    network, params, opt, opt_state = init_training(cfg, TrainConfig(seed=0))
+    state = make_initial_state(cfg)
+    new_state, _ = forward_step(cfg, network, params, state)
+    with pytest.raises(ValueError, match="vorticity"):
+        adaptive_split(cfg, new_state, state)
+
+
+def test_wave_psi_scale_basis_change():
+    """The (phi, psi/s) basis is an exact change of variables: with
+    u_scaled = diag(1, 1/s) u, rhs_scaled(u_scaled) = diag(1, 1/s) rhs(u)."""
+    from pigs_tpu.pde import PDECoefficients, pde_rhs
+
+    rng = np.random.default_rng(1)
+    m, d, c = 7, 2, 2
+    samples = jnp.asarray(rng.normal(size=(m, d)))
+    u = jnp.asarray(rng.normal(size=(m, c)))
+    ux = jnp.asarray(rng.normal(size=(m, d, c)))
+    uxx = jnp.asarray(rng.normal(size=(m, d, d, c)))
+    s = 30.0
+    T = jnp.asarray([1.0, 1.0 / s])
+
+    rhs_ref = pde_rhs(Problem.WAVE, PDECoefficients(), samples, u, ux, uxx)
+    rhs_scaled = pde_rhs(Problem.WAVE, PDECoefficients(wave_psi_scale=s),
+                         samples, u * T, ux * T, uxx * T)
+    np.testing.assert_allclose(np.asarray(rhs_scaled),
+                               np.asarray(rhs_ref * T), rtol=1e-12)
+
+
+def test_wave_psi_scale_initial_state():
+    """s scales only the stored psi channel of the IC bump; s=1.0 is
+    bit-identical to the reference IC."""
+    cfg1 = small_cfg(Problem.WAVE, capacity=160)
+    cfgs = cfg1._replace(coeff=cfg1.coeff._replace(wave_psi_scale=30.0))
+    st1 = make_initial_state(cfg1)
+    sts = make_initial_state(cfgs)
+    u1, us = np.asarray(st1.u), np.asarray(sts.u)
+    np.testing.assert_array_equal(u1[:, 0], us[:, 0])
+    np.testing.assert_allclose(us[:, 1], u1[:, 1] / 30.0, rtol=1e-6)
+
+    # Dynamic grid path agrees with the static path under scaling too.
+    from pigs_tpu.models.model import grid_state_dynamic
+    dyn = grid_state_dynamic(cfgs, jnp.asarray(6), n_max=6)
+    a = np.asarray(dyn.u)[np.asarray(dyn.active)]
+    b = us[np.asarray(sts.active)]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
